@@ -1,0 +1,23 @@
+from recbole_gnn_tpu.data.dataset import (
+    Dataset,
+    GeneralGraphDataset,
+    SequentialDataset,
+    SessionGraphDataset,
+    SocialDataset,
+)
+from recbole_gnn_tpu.data.loader import (
+    TrainLoader,
+    FullSortEvalLoader,
+    NegSampleEvalLoader,
+    SequentialTrainLoader,
+    SequentialFullSortEvalLoader,
+    SequentialNegSampleEvalLoader,
+)
+
+__all__ = [
+    "Dataset", "GeneralGraphDataset", "SequentialDataset",
+    "SessionGraphDataset", "SocialDataset",
+    "TrainLoader", "FullSortEvalLoader", "NegSampleEvalLoader",
+    "SequentialTrainLoader", "SequentialFullSortEvalLoader",
+    "SequentialNegSampleEvalLoader",
+]

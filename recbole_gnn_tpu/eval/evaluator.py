@@ -1,0 +1,138 @@
+"""Evaluator — full-sort and uniN top-k evaluation.
+
+Reimplements the [recbole] eval collector + metric pipeline the
+reference relies on (SURVEY.md §3.3): general models propagate the
+full graph ONCE per evaluation and score chunks of users against the
+whole catalog with train-history −inf masking; sequential models score
+each session batch; uniN mode ranks within sampled candidate lists.
+
+Everything on-device and jitted; metric contributions are accumulated
+as weighted sums so padded eval rows (weight 0) vanish.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recbole_gnn_tpu.eval.metrics import topk_metrics
+from recbole_gnn_tpu.ops.topk import NEG_INF
+from recbole_gnn_tpu.utils.enums import ModelType
+
+
+class Evaluator:
+
+    def __init__(self, config, model):
+        self.config = config
+        self.model = model
+        self.topk = tuple(config["topk"])
+        self.max_k = max(self.topk)
+        self.metrics = tuple(m.lower() for m in (config["metrics"] or
+                             ["Recall", "MRR", "NDCG", "Hit", "Precision"]))
+        self.is_sequential = model.model_type == ModelType.SEQUENTIAL
+        self.n_items = model.n_items
+        self._propagate_jit = None
+        self._eval_rng = jax.random.PRNGKey(int(config["seed"] or 2020) + 9999)
+
+    # -- jitted pieces --------------------------------------------------
+
+    def _metric_sums(self, topk_idx, pos_items, pos_len, weight):
+        vals = topk_metrics(topk_idx, pos_items, pos_len, self.topk)
+        sums = {k: jnp.sum(v * weight) for k, v in vals.items()}
+        sums["__weight__"] = jnp.sum(weight)
+        return sums
+
+    @partial(jax.jit, static_argnums=0)
+    def _general_full_sort_batch(self, user_all, item_all, batch):
+        users = batch["user_id"]
+        u_e = user_all[users]
+        scores = jnp.dot(u_e, item_all.T, preferred_element_type=jnp.float32)
+        B = scores.shape[0]
+        rows = jnp.arange(B)[:, None]
+        hist = batch["history_items"]
+        mask = jnp.zeros(scores.shape, dtype=bool).at[rows, hist].set(True)
+        mask = mask.at[:, 0].set(True)  # PAD item
+        scores = jnp.where(mask, NEG_INF, scores)
+        _, idx = jax.lax.top_k(scores, self.max_k)
+        return self._metric_sums(idx, batch["pos_items"], batch["pos_len"],
+                                 batch["weight"])
+
+    @partial(jax.jit, static_argnums=0)
+    def _general_candidates_batch(self, user_all, item_all, batch):
+        users = batch["user_id"]
+        cand = batch["candidates"]
+        u_e = user_all[users]
+        c_e = item_all[cand]
+        scores = jnp.einsum("bd,bcd->bc", u_e, c_e)
+        valid = jnp.arange(cand.shape[1])[None, :] < batch["cand_len"][:, None]
+        scores = jnp.where(valid, scores, NEG_INF)
+        k = min(self.max_k, cand.shape[1])
+        _, pos_idx = jax.lax.top_k(scores, k)
+        topk_items = jnp.take_along_axis(cand, pos_idx, axis=1)
+        if k < self.max_k:  # pad with PAD item (never relevant)
+            topk_items = jnp.pad(topk_items, ((0, 0), (0, self.max_k - k)))
+        return self._metric_sums(topk_items, batch["pos_items"],
+                                 batch["pos_len"], batch["weight"])
+
+    @partial(jax.jit, static_argnums=0)
+    def _sequential_full_sort_batch(self, params, extras, batch, rng):
+        scores = self.model.full_scores(
+            params, self.model.consts, extras, batch, rng, False)
+        scores = scores.at[:, 0].set(NEG_INF)
+        _, idx = jax.lax.top_k(scores, self.max_k)
+        return self._metric_sums(idx, batch["pos_items"], batch["pos_len"],
+                                 batch["weight"])
+
+    @partial(jax.jit, static_argnums=0)
+    def _sequential_candidates_batch(self, params, extras, batch, rng):
+        scores = self.model.full_scores(
+            params, self.model.consts, extras, batch, rng, False)
+        cand = batch["candidates"]
+        cscores = jnp.take_along_axis(scores, cand, axis=1)
+        valid = jnp.arange(cand.shape[1])[None, :] < batch["cand_len"][:, None]
+        cscores = jnp.where(valid, cscores, NEG_INF)
+        k = min(self.max_k, cand.shape[1])
+        _, pos_idx = jax.lax.top_k(cscores, k)
+        topk_items = jnp.take_along_axis(cand, pos_idx, axis=1)
+        if k < self.max_k:
+            topk_items = jnp.pad(topk_items, ((0, 0), (0, self.max_k - k)))
+        return self._metric_sums(topk_items, batch["pos_items"],
+                                 batch["pos_len"], batch["weight"])
+
+    # -- public API -----------------------------------------------------
+
+    def evaluate(self, params, extras, loader, mode: str = "full") -> dict:
+        """Run a full evaluation pass; returns {metric@k: float}."""
+        totals: dict[str, float] = {}
+        if self.is_sequential:
+            for batch in loader:
+                fn = (self._sequential_full_sort_batch if mode == "full"
+                      else self._sequential_candidates_batch)
+                sums = fn(params, extras, batch, self._eval_rng)
+                self._accumulate(totals, sums)
+        else:
+            if self._propagate_jit is None:
+                self._propagate_jit = jax.jit(
+                    lambda p, e: self.model.propagate(p, self.model.consts, e))
+            user_all, item_all = self._propagate_jit(params, extras)
+            for batch in loader:
+                fn = (self._general_full_sort_batch if mode == "full"
+                      else self._general_candidates_batch)
+                sums = fn(user_all, item_all, batch)
+                self._accumulate(totals, sums)
+        w = max(totals.pop("__weight__", 0.0), 1e-12)
+        out = {}
+        for name in self.metrics:
+            for k in self.topk:
+                key = f"{name}@{k}"
+                if key in totals:
+                    out[key] = float(totals[key]) / w
+        return out
+
+    @staticmethod
+    def _accumulate(totals, sums):
+        for k, v in sums.items():
+            totals[k] = totals.get(k, 0.0) + float(v)

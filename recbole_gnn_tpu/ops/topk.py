@@ -1,0 +1,64 @@
+"""Full-catalog scoring + top-k — memory-safe and shardable.
+
+Replaces the reference's full-sort eval matmul + RecBole topk gather
+(reference: recbole_gnn/model/general_recommender/lightgcn.py:123-133
+and [recbole] full-sort convention).  The [B, n_items] logits are never
+materialized for the whole eval set: we chunk over users, mask history
+with -inf, and keep only top-k scores/indices per chunk.
+
+For the distributed path see parallel/topk.py (per-shard top-k over
+item shards + global merge).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def masked_topk(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Top-k over the last axis. Thin wrapper so call sites stay uniform."""
+    return jax.lax.top_k(scores, k)
+
+
+def full_sort_topk(user_emb: jax.Array, item_emb: jax.Array,
+                   history_mask: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """scores = U @ Iᵀ with train-history masking, then top-k.
+
+    Args:
+      user_emb: (B, D) user vectors for this eval chunk.
+      item_emb: (n_items, D) full catalog.
+      history_mask: (B, n_items) bool — True where the item must be
+        excluded (already-interacted), per RecBole's -inf convention.
+      k: cut.
+    Returns (values (B,k), indices (B,k)).
+    """
+    scores = jnp.dot(user_emb, item_emb.T, preferred_element_type=jnp.float32)
+    scores = jnp.where(history_mask, NEG_INF, scores)
+    return jax.lax.top_k(scores, k)
+
+
+def chunked_full_sort_topk(user_emb: jax.Array, item_emb: jax.Array,
+                           history_mask: jax.Array, k: int,
+                           chunk: int = 1024) -> tuple[jax.Array, jax.Array]:
+    """Scan over user chunks so peak memory is chunk × n_items."""
+    n = user_emb.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        user_emb = jnp.pad(user_emb, ((0, pad), (0, 0)))
+        history_mask = jnp.pad(history_mask, ((0, pad), (0, 0)),
+                               constant_values=True)
+    u = user_emb.reshape(-1, chunk, user_emb.shape[-1])
+    m = history_mask.reshape(-1, chunk, history_mask.shape[-1])
+
+    def body(carry, uc_mc):
+        uc, mc = uc_mc
+        v, i = full_sort_topk(uc, item_emb, mc, k)
+        return carry, (v, i)
+
+    _, (vals, idxs) = jax.lax.scan(body, None, (u, m))
+    vals = vals.reshape(-1, k)[:n]
+    idxs = idxs.reshape(-1, k)[:n]
+    return vals, idxs

@@ -1,0 +1,121 @@
+"""Quick-start pipeline: config → data → model → train → eval.
+
+Equivalent of the reference's quick_start.py:9-96 (`run_recbole_gnn`,
+`objective_function`) and the factory functions in its utils.py
+(create_dataset / data_preparation / get_model / get_trainer).
+"""
+
+from __future__ import annotations
+
+from recbole_gnn_tpu.config import Config
+from recbole_gnn_tpu.data.loader import (
+    FullSortEvalLoader,
+    NegSampleEvalLoader,
+    SequentialFullSortEvalLoader,
+    SequentialNegSampleEvalLoader,
+    SequentialTrainLoader,
+    TrainLoader,
+)
+from recbole_gnn_tpu.models import get_dataset_class, get_model
+from recbole_gnn_tpu.train.trainer import get_trainer
+from recbole_gnn_tpu.utils.enums import ModelType
+from recbole_gnn_tpu.utils.logging import init_logger, get_logger
+from recbole_gnn_tpu.utils.seed import init_seed
+
+
+def create_dataset(config):
+    """Resolve + build the dataset for config['model'] (precedence
+    mirrors reference utils.py:30-39)."""
+    cls = get_dataset_class(config["model"])
+    return cls(config)
+
+
+def _parse_eval_mode(config) -> tuple[str, int]:
+    mode = ((config["eval_args"] or {}).get("mode")) or "full"
+    if mode == "full":
+        return "full", 0
+    if mode.startswith("uni"):
+        return "uni", int(mode[3:])
+    raise ValueError(f"unsupported eval mode {mode!r}")
+
+
+def data_preparation(config, dataset):
+    """Split + wrap in loaders → (train_data, valid_data, test_data).
+
+    Each element is (loader, split_dataset); the model consumes the
+    *train* split dataset for graph construction, matching the
+    reference's `get_model(...)(config, train_data.dataset)`."""
+    train_ds, valid_ds, test_ds = dataset.build()
+    is_seq = config["MODEL_TYPE"] == ModelType.SEQUENTIAL
+    mode, sample_num = _parse_eval_mode(config)
+
+    if is_seq:
+        train_loader = SequentialTrainLoader(train_ds, config)
+        if mode == "full":
+            valid_loader = SequentialFullSortEvalLoader(valid_ds, config)
+            test_loader = SequentialFullSortEvalLoader(test_ds, config)
+        else:
+            valid_loader = SequentialNegSampleEvalLoader(
+                valid_ds, [train_ds], config, sample_num)
+            test_loader = SequentialNegSampleEvalLoader(
+                test_ds, [train_ds, valid_ds], config, sample_num)
+    else:
+        train_loader = TrainLoader(train_ds, config)
+        if mode == "full":
+            valid_loader = FullSortEvalLoader(valid_ds, [train_ds], config)
+            test_loader = FullSortEvalLoader(
+                test_ds, [train_ds, valid_ds], config)
+        else:
+            valid_loader = NegSampleEvalLoader(
+                valid_ds, [train_ds], config, sample_num)
+            test_loader = NegSampleEvalLoader(
+                test_ds, [train_ds, valid_ds], config, sample_num)
+    return (train_loader, train_ds), (valid_loader, valid_ds), \
+        (test_loader, test_ds)
+
+
+def run_recbole_gnn_tpu(model=None, dataset=None, config_file_list=None,
+                        config_dict=None, saved=True, verbose=True):
+    """End-to-end train + eval (reference quick_start.py:9-63)."""
+    config = Config(model=model, dataset=dataset,
+                    config_file_list=config_file_list,
+                    config_dict=config_dict)
+    init_seed(int(config["seed"] or 2020), bool(config["reproducibility"]))
+    logger = init_logger(config)
+    if verbose:
+        logger.info(str(config))
+
+    ds = create_dataset(config)
+    if verbose:
+        logger.info(str(ds))
+    (train_loader, train_ds), (valid_loader, _), (test_loader, _) = \
+        data_preparation(config, ds)
+
+    init_seed(int(config["seed"] or 2020), bool(config["reproducibility"]))
+    model_cls = get_model(config["model"])
+    model_obj = model_cls(config, train_ds)
+    trainer = get_trainer(config["MODEL_TYPE"], config["model"])(
+        config, model_obj)
+
+    best_valid_score, best_valid_result = trainer.fit(
+        train_loader, valid_loader, saved=saved, verbose=verbose)
+    test_result = trainer.evaluate(test_loader, load_best_model=saved)
+    if verbose:
+        logger.info(f"best valid : {best_valid_result}")
+        logger.info(f"test result: {test_result}")
+
+    return {
+        "best_valid_score": best_valid_score,
+        "valid_score_bigger": config["valid_metric_bigger"] is not False,
+        "best_valid_result": best_valid_result,
+        "test_result": test_result,
+    }
+
+
+def objective_function(config_dict=None, config_file_list=None, saved=True):
+    """Quiet pipeline for hyper-tuning (reference quick_start.py:66-96)."""
+    config_dict = dict(config_dict or {})
+    config_dict.setdefault("state", "ERROR")
+    return run_recbole_gnn_tpu(
+        config_file_list=config_file_list, config_dict=config_dict,
+        saved=saved, verbose=False)

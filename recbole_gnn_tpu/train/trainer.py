@@ -1,0 +1,201 @@
+"""Trainer — jitted train step, epoch loop, early stopping, checkpoints.
+
+Replaces the [recbole] Trainer the reference inherits plus its three
+custom trainers (reference: recbole_gnn/trainer.py — NCL e-step /
+warm-up, HMLET temperature decay, SEPT subgraph rebuild): model-specific
+behavior is expressed through two model hooks instead of subclasses —
+``epoch_start`` (extras refresh) and ``loss_mode`` (static warm-up
+switching, one extra jit specialization per mode).
+
+TPU-first details:
+  * one compiled step per (batch-shape, loss-mode) — loaders emit
+    constant shapes, so normally exactly one compilation;
+  * params/opt-state donated to the step (no HBM copies);
+  * losses accumulated as device scalars, synced once per epoch;
+  * per-step PRNG = fold_in(epoch_key, step).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recbole_gnn_tpu.eval.evaluator import Evaluator
+from recbole_gnn_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+from recbole_gnn_tpu.train.optim import make_optimizer
+from recbole_gnn_tpu.utils.logging import get_logger
+
+
+class Trainer:
+
+    def __init__(self, config, model):
+        self.config = config
+        self.model = model
+        self.logger = get_logger()
+        self.epochs = int(config["epochs"] or 300)
+        self.eval_step = max(1, int(config["eval_step"] or 1))
+        self.stopping_step = int(config["stopping_step"] or 10)
+        self.valid_metric = str(config["valid_metric"] or "MRR@10").lower()
+        self.valid_metric_bigger = config["valid_metric_bigger"] is not False
+        self.optimizer = make_optimizer(
+            learner=config["learner"] or "adam",
+            lr=float(config["learning_rate"] or 1e-3),
+            weight_decay=float(config["weight_decay"] or 0.0),
+            clip_grad_norm=(float(config["clip_grad_norm"]["max_norm"])
+                            if isinstance(config["clip_grad_norm"], dict)
+                            else config["clip_grad_norm"]),
+        )
+        self.evaluator = Evaluator(config, model)
+        ckpt_dir = config["checkpoint_dir"] or "saved/"
+        self.saved_model_file = os.path.join(
+            ckpt_dir, f"{config['model']}-{config['dataset']}.ckpt")
+        self._step_fns: dict[int, callable] = {}
+        self.train_timings: list[float] = []
+
+    # -- jitted step ----------------------------------------------------
+
+    def _get_step_fn(self, mode: int):
+        if mode in self._step_fns:
+            return self._step_fns[mode]
+        model = self.model
+        optimizer = self.optimizer
+
+        def step(params, opt_state, consts, extras, batch, rng):
+            def loss_fn(p):
+                loss, aux = model.calculate_loss(
+                    p, consts, extras, batch, rng, mode=mode)
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            new_params, new_opt_state = optimizer.update(
+                grads, opt_state, params)
+            return new_params, new_opt_state, loss, aux
+
+        fn = jax.jit(step, donate_argnums=(0, 1))
+        self._step_fns[mode] = fn
+        return fn
+
+    # -- training loop --------------------------------------------------
+
+    def fit(self, train_loader, valid_loader=None, saved: bool = True,
+            verbose: bool = True, callback=None):
+        cfg = self.config
+        seed = int(cfg["seed"] or 2020)
+        root = jax.random.PRNGKey(seed)
+        k_init, k_extras, k_train = jax.random.split(root, 3)
+        params = self.model.init_params(k_init)
+        extras = self.model.init_extras(k_extras)
+        opt_state = self.optimizer.init(params)
+        consts = self.model.consts
+
+        best_score = None
+        best_result: dict = {}
+        best_epoch = -1
+        cur_step = 0
+
+        for epoch in range(self.epochs):
+            ek = jax.random.fold_in(k_train, epoch)
+            extras = self.model.epoch_start(epoch, params, consts, extras, ek)
+            mode = self._loss_mode(epoch)
+            step_fn = self._get_step_fn(mode)
+            t0 = time.time()
+            losses = []
+            for i, batch in enumerate(train_loader):
+                rng = jax.random.fold_in(ek, i)
+                params, opt_state, loss, _aux = step_fn(
+                    params, opt_state, consts, extras, batch, rng)
+                losses.append(loss)
+            total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+            dt = time.time() - t0
+            self.train_timings.append(dt)
+            if not np.isfinite(total):
+                raise ValueError(f"NaN/Inf loss at epoch {epoch}")
+            if verbose:
+                self.logger.info(
+                    f"epoch {epoch} : train loss {total:.4f} [{dt:.2f}s]")
+
+            if valid_loader is not None and (epoch + 1) % self.eval_step == 0:
+                result = self.evaluator.evaluate(
+                    params, extras, valid_loader,
+                    mode=_eval_mode(cfg))
+                score = result.get(self.valid_metric,
+                                   next(iter(result.values())))
+                if verbose:
+                    self.logger.info(f"epoch {epoch} : valid {result}")
+                improved = (best_score is None or
+                            (score > best_score if self.valid_metric_bigger
+                             else score < best_score))
+                if improved:
+                    best_score, best_result, best_epoch = score, result, epoch
+                    cur_step = 0
+                    if saved:
+                        self._save(params, opt_state, extras, epoch)
+                else:
+                    cur_step += 1
+                    if cur_step >= self.stopping_step:
+                        if verbose:
+                            self.logger.info(
+                                f"early stop at epoch {epoch} "
+                                f"(best epoch {best_epoch})")
+                        break
+            elif valid_loader is None and saved:
+                self._save(params, opt_state, extras, epoch)
+            if callback is not None:
+                callback(epoch, params, extras)
+
+        self.params, self.extras, self.opt_state = params, extras, opt_state
+        if best_score is None:
+            best_score, best_result = 0.0, {}
+        return best_score, best_result
+
+    def _loss_mode(self, epoch: int) -> int:
+        fn = getattr(self.model, "loss_mode", None)
+        return int(fn(epoch)) if callable(fn) else 0
+
+    # -- evaluation -----------------------------------------------------
+
+    def evaluate(self, eval_loader, load_best_model: bool = True,
+                 params=None, extras=None) -> dict:
+        if params is None:
+            if load_best_model and os.path.isfile(self.saved_model_file):
+                state = load_checkpoint(self.saved_model_file)
+                params, extras = state["params"], state.get("extras", {})
+            else:
+                params, extras = self.params, self.extras
+        self.evaluator._propagate_jit = None  # invalidate cached propagation
+        return self.evaluator.evaluate(params, extras or {}, eval_loader,
+                                       mode=_eval_mode(self.config))
+
+    def _save(self, params, opt_state, extras, epoch):
+        save_checkpoint(self.saved_model_file, {
+            "params": params, "opt_state": opt_state, "extras": extras,
+            "epoch": np.int64(epoch),
+            "config": {"model": self.config["model"],
+                       "dataset": self.config["dataset"]},
+        })
+
+    def resume_from_checkpoint(self, path: str | None = None):
+        """Restore params/opt/extras for continued training (preemption
+        recovery — SURVEY.md §5 failure-detection tier)."""
+        state = load_checkpoint(path or self.saved_model_file)
+        self.params = state["params"]
+        self.extras = state.get("extras", {})
+        self.opt_state = state.get("opt_state")
+        return int(state.get("epoch", -1))
+
+
+def _eval_mode(config) -> str:
+    mode = ((config["eval_args"] or {}).get("mode")) or "full"
+    return "full" if mode == "full" else "candidates"
+
+
+def get_trainer(model_type, model_name):
+    """(type, name) → trainer class; custom behaviors are model hooks,
+    so one Trainer serves every model (API parity with reference
+    utils.py:145-156)."""
+    return Trainer

@@ -1,0 +1,153 @@
+"""Unit tests for the kernel layer (ops/) — what the reference lacks
+(SURVEY.md §4): segment ops / SpMM vs dense reference, normalizations,
+k-means, randomized SVD, top-k."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recbole_gnn_tpu.ops import (
+    segment_sum, segment_mean, segment_max, segment_softmax,
+    spmm, Graph, sym_norm_weights, row_norm_weights,
+    edge_dropout_mask, kmeans, randomized_svd, chunked_full_sort_topk,
+)
+from recbole_gnn_tpu.ops.spmm import build_graph
+from recbole_gnn_tpu.ops.svd import randomized_svd_sparse
+
+
+def dense_from_coo(src, dst, w, n):
+    m = np.zeros((n, n), dtype=np.float64)
+    for s, d, x in zip(src, dst, w):
+        m[d, s] += x
+    return m
+
+
+def random_graph(rng, n=50, e=300):
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.normal(size=e)
+    return src, dst, w, n
+
+
+def test_spmm_matches_dense():
+    rng = np.random.default_rng(0)
+    src, dst, w, n = random_graph(rng)
+    x = rng.normal(size=(n, 16))
+    g = build_graph(src, dst, w, n)
+    out = np.asarray(spmm(g, jnp.asarray(x, jnp.float32)))
+    want = dense_from_coo(src, dst, w, n) @ x
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-4)
+
+
+def test_graph_reverse_is_transpose():
+    rng = np.random.default_rng(1)
+    src, dst, w, n = random_graph(rng)
+    g = build_graph(src, dst, w, n)
+    gt = g.reverse()
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    out = np.asarray(spmm(gt, jnp.asarray(x)))
+    want = dense_from_coo(src, dst, w, n).T @ x
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-4)
+
+
+def test_segment_mean_empty_segments():
+    data = jnp.array([[1.0], [3.0], [5.0]])
+    ids = jnp.array([0, 0, 2])
+    out = np.asarray(segment_mean(data, ids, 4))
+    np.testing.assert_allclose(out[:, 0], [2.0, 0.0, 5.0, 0.0])
+
+
+def test_segment_softmax_sums_to_one():
+    rng = np.random.default_rng(2)
+    logits = jnp.asarray(rng.normal(size=40), jnp.float32)
+    ids = jnp.asarray(np.sort(rng.integers(0, 6, 40)))
+    p = segment_softmax(logits, ids, 6)
+    sums = np.asarray(segment_sum(p, ids, 6))
+    present = np.unique(np.asarray(ids))
+    np.testing.assert_allclose(sums[present], 1.0, rtol=1e-5)
+
+
+def test_segment_softmax_mask():
+    logits = jnp.array([1.0, 2.0, 3.0, 4.0])
+    ids = jnp.array([0, 0, 1, 1])
+    mask = jnp.array([True, False, True, True])
+    p = np.asarray(segment_softmax(logits, ids, 2, mask=mask))
+    assert p[1] == 0.0
+    np.testing.assert_allclose(p[0], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(p[2] + p[3], 1.0, rtol=1e-6)
+
+
+def test_sym_norm_matches_manual():
+    src = jnp.array([0, 1, 1, 2])
+    dst = jnp.array([1, 0, 2, 1])
+    w = np.asarray(sym_norm_weights(src, dst, 3))
+    # deg over dst: node0:1, node1:2, node2:1
+    want = [1 / np.sqrt(1 * 2), 1 / np.sqrt(2 * 1), 1 / np.sqrt(2 * 1),
+            1 / np.sqrt(1 * 2)]
+    np.testing.assert_allclose(w, want, rtol=1e-6)
+
+
+def test_row_norm_rows_sum_to_one():
+    rng = np.random.default_rng(3)
+    src, dst, _, n = random_graph(rng, n=20, e=100)
+    w = np.asarray(row_norm_weights(jnp.asarray(src), jnp.asarray(dst), n))
+    sums = np.zeros(n)
+    np.add.at(sums, dst, w)
+    present = np.unique(dst)
+    np.testing.assert_allclose(sums[present], 1.0, rtol=1e-5)
+
+
+def test_edge_dropout_mask_rate():
+    rng = jax.random.PRNGKey(0)
+    m = np.asarray(edge_dropout_mask(rng, 100_000, 0.3))
+    assert abs(m.mean() - 0.7) < 0.01
+
+
+def test_kmeans_separates_clusters():
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(100, 8)) + 10
+    b = rng.normal(size=(100, 8)) - 10
+    x = jnp.asarray(np.concatenate([a, b]), jnp.float32)
+    _, assign = kmeans(jax.random.PRNGKey(1), x, 2, n_iter=10)
+    assign = np.asarray(assign)
+    assert len(np.unique(assign[:100])) == 1
+    assert len(np.unique(assign[100:])) == 1
+    assert assign[0] != assign[150]
+
+
+def test_randomized_svd_low_rank_recovery():
+    rng = np.random.default_rng(5)
+    u = rng.normal(size=(60, 5))
+    v = rng.normal(size=(40, 5))
+    a = (u @ v.T).astype(np.float32)
+    mv = lambda x: jnp.asarray(a) @ x
+    rmv = lambda y: jnp.asarray(a.T) @ y
+    U, s, V = randomized_svd(jax.random.PRNGKey(2), mv, rmv, 60, 40, q=5)
+    approx = np.asarray(U) * np.asarray(s) @ np.asarray(V).T
+    np.testing.assert_allclose(approx, a, rtol=1e-3, atol=1e-3)
+
+
+def test_randomized_svd_sparse_matches_dense_svd():
+    rng = np.random.default_rng(6)
+    src = rng.integers(0, 30, 200)
+    dst = rng.integers(0, 25, 200)
+    w = rng.normal(size=200).astype(np.float32)
+    dense = np.zeros((30, 25), dtype=np.float64)
+    np.add.at(dense, (src, dst), w)
+    U, s, V = randomized_svd_sparse(
+        jax.random.PRNGKey(3), jnp.asarray(src), jnp.asarray(dst),
+        jnp.asarray(w), 30, 25, q=5, n_power_iter=4)
+    s_ref = np.linalg.svd(dense, compute_uv=False)[:5]
+    np.testing.assert_allclose(np.asarray(s), s_ref, rtol=1e-2)
+
+
+def test_chunked_topk_matches_full():
+    rng = np.random.default_rng(7)
+    ue = jnp.asarray(rng.normal(size=(37, 8)), jnp.float32)
+    ie = jnp.asarray(rng.normal(size=(50, 8)), jnp.float32)
+    hist = jnp.zeros((37, 50), dtype=bool)
+    v1, i1 = chunked_full_sort_topk(ue, ie, hist, k=5, chunk=8)
+    scores = np.asarray(ue) @ np.asarray(ie).T
+    want = np.argsort(-scores, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(i1), want)
