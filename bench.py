@@ -1,0 +1,114 @@
+"""Benchmark harness — LightGCN training throughput on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: LightGCN (3 layers, dim 64, BPR) on a synthetic bipartite
+graph at ml-1m scale (~30k nodes, 1M interactions → 2M directed edges),
+batch 4096 — the structural hot loop of the reference (SURVEY.md §3.2:
+full-graph propagation per minibatch).  Metric: propagated
+edge-features per second per chip, forward-edge count × n_layers
+(backward pass not counted — consistent across rounds).
+
+vs_baseline divides by BASELINE_EDGES_PER_S — a fixed reference-point
+estimate of the PyG/torch-sparse CUDA path from the reference's own
+efficiency claim (README.md:10: sparse path ≈5× over dense, LightGCN
+ml-1m epoch ≈ 6s on a single GPU → ~3.3e9 edge-features/s; recorded
+here once so every round is comparable)."""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_EDGES_PER_S = 3.3e9
+
+N_USERS = 6_041
+N_ITEMS = 3_630
+N_INTER = 1_000_000
+DIM = 64
+N_LAYERS = 3
+BATCH = 4096
+N_STEPS = 60
+WARMUP = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from recbole_gnn_tpu.models.losses import bpr_loss, emb_loss
+    from recbole_gnn_tpu.models.layers import lightgcn_propagate
+    from recbole_gnn_tpu.ops.spmm import build_dense_bipartite
+    from recbole_gnn_tpu.train.optim import make_optimizer
+
+    rng = np.random.default_rng(0)
+    users = rng.integers(1, N_USERS, N_INTER).astype(np.int64)
+    items = rng.integers(1, N_ITEMS, N_INTER).astype(np.int64)
+    n = N_USERS + N_ITEMS
+    src = np.concatenate([users, items + N_USERS])
+    dst = np.concatenate([items + N_USERS, users])
+    deg = np.bincount(dst, minlength=n).astype(np.float64)
+    dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
+    w = dinv[src] * dinv[dst]
+    # the default representation at this scale: dense bipartite (MXU)
+    graph = build_dense_bipartite(users, items, w[:N_INTER], N_USERS, N_ITEMS)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    params = {
+        "user_emb": jax.random.normal(k1, (N_USERS, DIM)) * 0.1,
+        "item_emb": jax.random.normal(k2, (N_ITEMS, DIM)) * 0.1,
+    }
+    optimizer = make_optimizer("adam", 1e-3)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p, graph, batch):
+        ego = jnp.concatenate([p["user_emb"], p["item_emb"]], axis=0)
+        layers = lightgcn_propagate(graph, ego, N_LAYERS)
+        final = jnp.mean(jnp.stack(layers, 0), 0)
+        u, i = final[:N_USERS], final[N_USERS:]
+        ue = u[batch["user"]]
+        pos = jnp.sum(ue * i[batch["pos"]], -1)
+        neg = jnp.sum(ue * i[batch["neg"]], -1)
+        reg = emb_loss([p["user_emb"][batch["user"]],
+                        p["item_emb"][batch["pos"]],
+                        p["item_emb"][batch["neg"]]], BATCH, require_pow=True)
+        return bpr_loss(pos, neg) + 1e-5 * reg
+
+    @jax.jit
+    def step(params, opt_state, graph, batch):
+        # graph passed as an argument: closure-captured edge arrays would
+        # be baked into the HLO as 40MB literals and stall compilation
+        loss, grads = jax.value_and_grad(loss_fn)(params, graph, batch)
+        params, opt_state = optimizer.update(grads, opt_state, params)
+        return params, opt_state, loss
+
+    def make_batch(i):
+        lo = (i * BATCH) % (N_INTER - BATCH)
+        return {"user": users[lo:lo + BATCH],
+                "pos": items[lo:lo + BATCH],
+                "neg": rng.integers(1, N_ITEMS, BATCH)}
+
+    for i in range(WARMUP):
+        params, opt_state, loss = step(params, opt_state, graph, make_batch(i))
+    float(loss)  # hard sync: block_until_ready is advisory over the tunnel
+
+    t0 = time.perf_counter()
+    for i in range(N_STEPS):
+        params, opt_state, loss = step(params, opt_state, graph, make_batch(i))
+    float(loss)  # forces the whole dependent chain
+    dt = time.perf_counter() - t0
+
+    steps_per_s = N_STEPS / dt
+    edges_per_step = N_LAYERS * graph.n_edges
+    edges_per_s = steps_per_s * edges_per_step
+    print(json.dumps({
+        "metric": "lightgcn_spmm_edge_features_per_s_per_chip",
+        "value": round(edges_per_s, 1),
+        "unit": "edge-feat/s (fwd, 3 layers x 2M edges, dim 64, B=4096)",
+        "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

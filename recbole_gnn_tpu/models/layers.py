@@ -14,25 +14,26 @@ import jax.numpy as jnp
 
 from recbole_gnn_tpu.models.init import linear, linear_params, split_keys
 from recbole_gnn_tpu.ops.segment import segment_softmax
-from recbole_gnn_tpu.ops.spmm import Graph, spmm
+from recbole_gnn_tpu.ops.spmm import Graph, spmm, spmm_any
 
 
 # -- LightGCN conv ------------------------------------------------------
 
-def lightgcn_conv(graph: Graph, x: jax.Array) -> jax.Array:
+def lightgcn_conv(graph, x: jax.Array) -> jax.Array:
     """Weighted add-aggregation over the normalized adjacency
-    (reference LightGCNConv, layers.py:8-22): one SpMM."""
-    return spmm(graph, x)
+    (reference LightGCNConv, layers.py:8-22): one SpMM — dense-MXU or
+    sparse segment-sum per the graph representation."""
+    return spmm_any(graph, x)
 
 
-def lightgcn_propagate(graph: Graph, ego: jax.Array, n_layers: int,
+def lightgcn_propagate(graph, ego: jax.Array, n_layers: int,
                        include_ego: bool = True) -> list[jax.Array]:
     """K propagation steps; returns the per-layer embedding list
     [e⁰, e¹, …, e^K] (models differ in how they combine them)."""
     out = [ego] if include_ego else []
     h = ego
     for _ in range(n_layers):
-        h = spmm(graph, h)
+        h = spmm_any(graph, h)
         out.append(h)
     return out
 

@@ -11,7 +11,8 @@ from recbole_gnn_tpu.ops.segment import (
     segment_max,
     segment_softmax,
 )
-from recbole_gnn_tpu.ops.spmm import spmm, spmm_coo, Graph
+from recbole_gnn_tpu.ops.spmm import (
+    spmm, spmm_coo, spmm_any, Graph, BipartiteDenseGraph)
 from recbole_gnn_tpu.ops.graphops import (
     edge_dropout_mask,
     degree,
@@ -24,7 +25,7 @@ from recbole_gnn_tpu.ops.svd import randomized_svd
 
 __all__ = [
     "segment_sum", "segment_mean", "segment_max", "segment_softmax",
-    "spmm", "spmm_coo", "Graph",
+    "spmm", "spmm_coo", "spmm_any", "Graph", "BipartiteDenseGraph",
     "edge_dropout_mask", "degree", "sym_norm_weights", "row_norm_weights",
     "chunked_full_sort_topk", "kmeans", "randomized_svd",
 ]

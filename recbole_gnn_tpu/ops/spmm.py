@@ -11,88 +11,212 @@ Design notes (TPU-first):
   * static nnz — edge dropout / augmentation zero weights instead of
     resizing (SURVEY.md §7.3), so every jit trace sees one shape;
   * dst-sorted edges → ``indices_are_sorted=True`` segment sums;
-  * weights broadcast over the feature dim so the multiply fuses into
-    the gather.
+  * custom VJP: the autodiff gradient of the gather would be an XLA
+    scatter-add — catastrophically slow on TPU (~50× the forward).
+    Instead the graph carries its *transposed edge ordering*
+    (rev_src/rev_dst/rev_edge_id, built once on host), and the
+    backward runs the transpose SpMM as another sorted segment-sum.
+    ``rev_edge_id`` indexes the live weight array, so dynamically
+    re-weighted graphs (edge dropout, SGL/SEPT augmentation) stay
+    consistent.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from dataclasses import dataclass, replace
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-class Graph(NamedTuple):
-    """Static COO graph, edges sorted by ``dst``.
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Graph:
+    """Static COO graph, edges sorted by ``dst``, with transposed
+    ordering for the backward pass.
 
-    This is a pytree (NamedTuple of arrays), so it can be passed
-    straight through ``jax.jit`` / ``shard_map`` boundaries.
+    Registered as a pytree whose children are the edge arrays and whose
+    aux data is (n_nodes, n_src_nodes) — static python ints across jit
+    boundaries (segment ops need them concrete).
 
     Attributes:
       src: (E,) int32 source node per edge.
       dst: (E,) int32 destination node per edge, non-decreasing.
       weight: (E,) float32 edge weight (0.0 == masked/padding edge).
-      n_nodes: () int — number of destination nodes (static python int
-        is kept separately; stored as 0-d array for pytree flatness).
+      rev_src / rev_dst: (E,) transposed edge list (flipped edges,
+        sorted by the new dst = original src).
+      rev_edge_id: (E,) original edge index of each transposed edge —
+        weights for the backward are gathered through this.
+      n_nodes: static int — number of destination nodes (output rows).
+      n_src_nodes: static int — number of source nodes (input rows).
     """
 
     src: jax.Array
     dst: jax.Array
     weight: jax.Array
+    rev_src: jax.Array | None
+    rev_dst: jax.Array | None
+    rev_edge_id: jax.Array | None
     n_nodes: int
+    n_src_nodes: int
+
+    def tree_flatten(self):
+        return ((self.src, self.dst, self.weight, self.rev_src,
+                 self.rev_dst, self.rev_edge_id),
+                (self.n_nodes, self.n_src_nodes))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0], aux[1])
 
     @property
     def n_edges(self) -> int:
         return self.src.shape[0]
 
     def reverse(self) -> "Graph":
-        """Transpose: edges flipped, re-sorted by new dst (host-side)."""
-        src = np.asarray(self.src)
-        dst = np.asarray(self.dst)
-        w = np.asarray(self.weight)
-        order = np.argsort(src, kind="stable")
+        """Transposed view (host-free: swaps the stored orderings)."""
+        if self.rev_src is None:
+            raise ValueError("graph built without reverse ordering")
+        inv = jnp.argsort(self.rev_edge_id)
         return Graph(
-            src=jnp.asarray(dst[order]),
-            dst=jnp.asarray(src[order]),
-            weight=jnp.asarray(w[order]),
-            n_nodes=self.n_nodes,
-        )
+            src=self.rev_src, dst=self.rev_dst,
+            weight=self.weight[self.rev_edge_id],
+            # transpose-of-transpose backward list is this graph's own
+            # dst-sorted edge list; edge k there is rev edge inv[k]
+            rev_src=self.src, rev_dst=self.dst, rev_edge_id=inv,
+            n_nodes=self.n_src_nodes, n_src_nodes=self.n_nodes)
 
     def with_weight(self, weight: jax.Array) -> "Graph":
-        return self._replace(weight=weight)
+        return replace(self, weight=weight)
 
 
 def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
-                n_nodes: int, sort: bool = True) -> Graph:
-    """Host-side constructor: sorts edges by dst for the sorted fast path."""
+                n_nodes: int, n_src_nodes: int | None = None,
+                sort: bool = True, with_reverse: bool = True) -> Graph:
+    """Host-side constructor: sorts edges by dst; precomputes the
+    transposed ordering for the custom-VJP backward."""
     src = np.asarray(src, dtype=np.int32)
     dst = np.asarray(dst, dtype=np.int32)
     weight = np.asarray(weight, dtype=np.float32)
     if sort:
         order = np.argsort(dst, kind="stable")
         src, dst, weight = src[order], dst[order], weight[order]
+    rev_src = rev_dst = rev_eid = None
+    if with_reverse:
+        rev_order = np.argsort(src, kind="stable").astype(np.int32)
+        rev_src = dst[rev_order]
+        rev_dst = src[rev_order]
+        rev_eid = rev_order
+    if n_src_nodes is None:
+        n_src_nodes = n_nodes
+    as_j = lambda a: None if a is None else jnp.asarray(a)
     return Graph(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(weight),
-                 int(n_nodes))
+                 as_j(rev_src), as_j(rev_dst), as_j(rev_eid),
+                 int(n_nodes), int(n_src_nodes))
 
 
 def spmm_coo(src: jax.Array, dst: jax.Array, weight: jax.Array,
              x: jax.Array, n_out: int,
              indices_are_sorted: bool = True) -> jax.Array:
-    """out[d] = Σ_{e: dst[e]=d} weight[e] · x[src[e]].
-
-    Gather-multiply-segment-sum; the multiply fuses into the gather
-    under XLA so the op is HBM-bandwidth bound on (E × D) reads.
-    """
+    """out[d] = Σ_{e: dst[e]=d} weight[e] · x[src[e]] (no custom VJP —
+    the autodiff path; use spmm() with a built Graph in hot loops)."""
     msgs = x[src] * weight[:, None].astype(x.dtype)
     return jax.ops.segment_sum(msgs, dst, num_segments=n_out,
                                indices_are_sorted=indices_are_sorted)
 
 
-def spmm(graph: Graph, x: jax.Array, n_out: int | None = None) -> jax.Array:
-    """SpMM over a :class:`Graph` (dst-sorted static COO)."""
-    if n_out is None:
-        n_out = graph.n_nodes
-    return spmm_coo(graph.src, graph.dst, graph.weight, x, n_out,
-                    indices_are_sorted=True)
+def spmm(graph: Graph, x: jax.Array) -> jax.Array:
+    """SpMM over a :class:`Graph`.  Differentiable w.r.t. ``x`` and
+    ``graph.weight``; the x-gradient runs as a transpose SpMM over the
+    pre-sorted reversed edges (sorted segment-sum, never scatter)."""
+    if graph.rev_src is None:
+        return spmm_coo(graph.src, graph.dst, graph.weight, x, graph.n_nodes)
+
+    src, dst = graph.src, graph.dst
+    rsrc, rdst, reid = graph.rev_src, graph.rev_dst, graph.rev_edge_id
+    n_out, n_in = graph.n_nodes, graph.n_src_nodes
+
+    @jax.custom_vjp
+    def _f(w, x_):
+        return spmm_coo(src, dst, w, x_, n_out)
+
+    def _fwd(w, x_):
+        return _f(w, x_), (w, x_)
+
+    def _bwd(res, g):
+        w, x_ = res
+        # dL/dx[s] = Σ_{e: src[e]=s} w[e]·g[dst[e]] — transpose SpMM
+        rw = w[reid]
+        gx = jax.ops.segment_sum(
+            g[rsrc] * rw[:, None].astype(g.dtype), rdst,
+            num_segments=n_in, indices_are_sorted=True)
+        # dL/dw[e] = x[src[e]] · g[dst[e]]
+        gw = jnp.sum(x_[src] * g[dst], axis=-1)
+        return gw, gx
+
+    _f.defvjp(_fwd, _bwd)
+    return _f(graph.weight, x)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BipartiteDenseGraph:
+    """Dense normalized bipartite adjacency — the MXU fast path.
+
+    At the reference's benchmark scales (ml-1m: 6,041×3,630; lastfm:
+    1,892×17,632) the rectangular normalized interaction block fits in
+    HBM as a dense matrix, and two MXU matmuls per propagation layer
+    (U←A·I, I←Aᵀ·U) run ~50× faster than any scatter/segment path on
+    TPU (measured: 23 ms XLA segment-sum vs <1 ms dense for 2M nnz).
+    Density-based dispatch lives in the dataset graph builder; the
+    sparse ``Graph`` path remains for web-scale catalogs.
+
+    ``a`` is the (n_users, n_items) sym-normalized block of the lifted
+    square adjacency [[0, A],[Aᵀ, 0]] — propagation semantics identical
+    to the COO path (reference dataset.py:60-79).
+    """
+
+    a: jax.Array
+    n_users: int
+    n_items: int
+    nnz: int
+
+    def tree_flatten(self):
+        return (self.a,), (self.n_users, self.n_items, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    @property
+    def n_nodes(self) -> int:
+        return self.n_users + self.n_items
+
+    @property
+    def n_edges(self) -> int:
+        return 2 * self.nnz
+
+
+def build_dense_bipartite(users: np.ndarray, items: np.ndarray,
+                          weights: np.ndarray, n_users: int, n_items: int,
+                          dtype=jnp.float32) -> BipartiteDenseGraph:
+    """Densify a (user, item, weight) COO block (duplicates summed)."""
+    a = np.zeros((n_users, n_items), dtype=np.float32)
+    np.add.at(a, (users, items), weights)
+    return BipartiteDenseGraph(jnp.asarray(a, dtype=dtype),
+                               int(n_users), int(n_items), len(users))
+
+
+def spmm_dense_bipartite(graph: BipartiteDenseGraph, x: jax.Array) -> jax.Array:
+    xu, xi = x[:graph.n_users], x[graph.n_users:]
+    out_u = jnp.dot(graph.a, xi, preferred_element_type=jnp.float32)
+    out_i = jnp.dot(graph.a.T, xu, preferred_element_type=jnp.float32)
+    return jnp.concatenate([out_u, out_i], axis=0)
+
+
+def spmm_any(graph, x: jax.Array) -> jax.Array:
+    """Dispatch over graph representations (dense bipartite | COO)."""
+    if isinstance(graph, BipartiteDenseGraph):
+        return spmm_dense_bipartite(graph, x)
+    return spmm(graph, x)

@@ -67,7 +67,7 @@ def save_checkpoint(path: str, state: dict):
     arrays = {k: v for k, v in flat.items() if isinstance(v, np.ndarray)}
     meta = {k: v for k, v in flat.items() if not isinstance(v, np.ndarray)}
     buf = io.BytesIO()
-    np.savez_compressed(buf, **{k.replace("/", "\x00"): v
+    np.savez_compressed(buf, **{k.replace("/", "||"): v
                                 for k, v in arrays.items()})
     with open(path, "wb") as f:
         pickle.dump({"npz": buf.getvalue(), "meta": meta}, f)
@@ -77,7 +77,7 @@ def load_checkpoint(path: str) -> dict:
     with open(path, "rb") as f:
         blob = pickle.load(f)
     with np.load(io.BytesIO(blob["npz"]), allow_pickle=False) as z:
-        arrays = {k.replace("\x00", "/"): z[k] for k in z.files}
+        arrays = {k.replace("||", "/"): z[k] for k in z.files}
     flat = dict(arrays)
     flat.update(blob["meta"])
     return _unflatten(flat)

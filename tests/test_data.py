@@ -1,0 +1,207 @@
+"""Data pipeline unit tests: atomic reading, filtering, remap, splits,
+augmentation, session graphs, social net, sampler — determinism and
+invariants the reference never tested (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from recbole_gnn_tpu.config import Config
+from recbole_gnn_tpu.data.dataset import (
+    Dataset, GeneralGraphDataset, parse_interval)
+from recbole_gnn_tpu.data.session import SessionGraphDataset, LESSRDataset
+from recbole_gnn_tpu.data.social import SocialDataset
+from recbole_gnn_tpu.data.sampler import UniformNegativeSampler
+
+from conftest import base_config_dict
+
+
+def make_config(model="LightGCN", **over):
+    return Config(config_dict=base_config_dict(model=model, **over))
+
+
+def test_parse_interval():
+    assert parse_interval("[3,inf)") == (3.0, np.inf, True, False)
+    assert parse_interval("(0,5]") == (0.0, 5.0, False, True)
+
+
+def test_dataset_loads_and_remaps():
+    ds = GeneralGraphDataset(make_config())
+    assert ds.inter_num > 5000
+    users = ds.inter[ds.uid_field]
+    items = ds.inter[ds.iid_field]
+    assert users.min() >= 1 and items.min() >= 1      # 0 = PAD
+    assert users.max() == ds.n_users - 1
+    assert items.max() == ds.n_items - 1
+    assert ds.field2id_token[ds.uid_field][0] == "[PAD]"
+
+
+def test_rating_filter():
+    ds_all = GeneralGraphDataset(make_config())
+    ds_f = GeneralGraphDataset(make_config(val_interval={"rating": "[3,inf)"}))
+    assert ds_f.inter_num < ds_all.inter_num
+    assert (ds_f.inter["rating"] >= 3).all()
+
+
+def test_kcore_filter():
+    cfg = make_config(user_inter_num_interval="[5,inf)",
+                      item_inter_num_interval="[5,inf)")
+    ds = GeneralGraphDataset(cfg)
+    u, c = np.unique(ds.inter[ds.uid_field], return_counts=True)
+    assert c.min() >= 5
+    i, ci = np.unique(ds.inter[ds.iid_field], return_counts=True)
+    assert ci.min() >= 5
+
+
+def test_ratio_split_grouped_conservation():
+    ds = GeneralGraphDataset(make_config())
+    tr, va, te = ds.build()
+    assert tr.inter_num + va.inter_num + te.inter_num == ds.inter_num
+    # grouped 8:1:1: every user's counts split per _calc_split_counts
+    assert tr.inter_num > 0.7 * ds.inter_num
+    assert va.inter_num > 0 and te.inter_num > 0
+
+
+def test_split_deterministic():
+    a = GeneralGraphDataset(make_config()).build()
+    b = GeneralGraphDataset(make_config()).build()
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.inter[x.uid_field],
+                                      y.inter[y.uid_field])
+        np.testing.assert_array_equal(x.inter[x.iid_field],
+                                      y.inter[y.iid_field])
+
+
+def test_calc_split_counts():
+    # [recbole] semantics: floor + remainder to first, fractional grants
+    assert Dataset._calc_split_counts(10, [0.8, 0.1, 0.1]) == [8, 1, 1]
+    assert Dataset._calc_split_counts(5, [0.8, 0.1, 0.1]) == [3, 1, 1]
+    assert Dataset._calc_split_counts(1, [0.8, 0.1, 0.1]) == [1, 0, 0]
+
+
+def test_norm_adj_symmetric_weights():
+    ds = GeneralGraphDataset(make_config())
+    g = ds.get_norm_adj_graph()
+    n = ds.n_users + ds.n_items
+    assert g.n_nodes == n
+    assert g.n_edges == 2 * ds.inter_num
+    # dst-sorted
+    dst = np.asarray(g.dst)
+    assert (np.diff(dst) >= 0).all()
+    # row sums of D^-1/2 A D^-1/2 == deg^-1/2 * sum(deg_j^-1/2) bounded by 1
+    w = np.asarray(g.weight)
+    assert (w > 0).all()
+
+
+def test_sequential_augmentation():
+    cfg = make_config(model="SRGNN")
+    ds = SessionGraphDataset(cfg)
+    ds.data_augmentation()
+    L = ds.max_seq_len
+    seqs = ds.inter[ds.item_list_field]
+    lens = ds.inter[ds.item_length_field]
+    tgt = ds.inter[ds.iid_field]
+    assert seqs.shape[1] == L
+    assert (lens >= 1).all() and (lens <= L).all()
+    assert (tgt >= 1).all()
+    # padding beyond length is 0
+    pos = np.arange(L)[None, :]
+    assert (np.where(pos >= lens[:, None], seqs, 0) == 0).all()
+    # augmented samples per user = n_u - 1 (when n_u <= L+1)
+    uids_orig = GeneralGraphDataset(make_config()).inter["user_id"]
+    _, cnt = np.unique(uids_orig, return_counts=True)
+    assert ds.inter_num == (cnt - 1).sum()
+
+
+def test_session_graph_construction():
+    cfg = make_config(model="SRGNN")
+    ds = SessionGraphDataset(cfg)
+    tr, va, te = ds.build()
+    g = tr.session_graphs
+    seqs = tr.inter[tr.item_list_field]
+    lens = tr.inter[tr.item_length_field]
+    r = 3  # spot-check a row
+    seq = seqs[r, :lens[r]]
+    want_nodes = np.unique(seq)
+    assert g["n_nodes"][r] == len(want_nodes)
+    np.testing.assert_array_equal(g["x"][r, :len(want_nodes)], want_nodes)
+    # alias maps positions back to their item
+    alias = g["alias_inputs"][r]
+    np.testing.assert_array_equal(g["x"][r][alias[:lens[r]]], seq)
+    # edges: deduped consecutive pairs in local indices
+    ne = g["n_edges"][r]
+    pairs = {(int(a), int(b)) for a, b in
+             zip(g["edge_src"][r, :ne], g["edge_dst"][r, :ne])}
+    want = set()
+    inv = {v: i for i, v in enumerate(want_nodes)}
+    for a, b in zip(seq[:-1], seq[1:]):
+        want.add((inv[a], inv[b]))
+    assert pairs == want
+
+
+def test_leave_one_out_split():
+    cfg = make_config(model="SRGNN")
+    ds = SessionGraphDataset(cfg)
+    tr, va, te = ds.build()
+    assert tr.inter_num + va.inter_num + te.inter_num == ds.inter_num
+    # each user contributes exactly 1 valid + 1 test sample (users with
+    # >= 3 augmented samples; all fixture users qualify)
+    uids = ds.inter[ds.uid_field]
+    n_users_with = len(np.unique(uids))
+    assert va.inter_num == n_users_with
+    assert te.inter_num == n_users_with
+
+
+def test_lessr_graphs():
+    cfg = make_config(model="LESSR")
+    ds = LESSRDataset(cfg)
+    tr, _, _ = ds.build()
+    g = tr.session_graphs
+    lens = tr.inter[tr.item_length_field]
+    r = int(np.argmax(lens))  # longest session
+    # EOP edges = len-1, in order, not deduped
+    assert g["n_eop"][r] == lens[r] - 1
+    alias = g["alias_inputs"][r]
+    np.testing.assert_array_equal(g["eop_src"][r, :lens[r] - 1],
+                                  alias[:lens[r] - 1])
+    np.testing.assert_array_equal(g["eop_dst"][r, :lens[r] - 1],
+                                  alias[1:lens[r]])
+    # exactly one is_last node
+    assert g["is_last"][r].sum() == 1
+    # shortcut edges include all i<j pairs deduped
+    n_cut = g["n_cut"][r]
+    assert n_cut >= lens[r] - 1
+
+
+def test_social_dataset_joint_remap():
+    cfg = Config(config_dict=base_config_dict(
+        model="DiffNet",
+        load_col={"inter": ["user_id", "item_id", "rating", "timestamp"],
+                  "net": ["source_id", "target_id"]}))
+    ds = SocialDataset(cfg)
+    src, dst = ds.net_edges()
+    assert src.max() < ds.n_users and dst.max() < ds.n_users
+    assert src.min() >= 1
+    # undirected duplication: edge set symmetric
+    pairs = set(zip(src.tolist(), dst.tolist()))
+    assert all((b, a) in pairs for a, b in pairs)
+    g = ds.get_norm_net_adj_graph()
+    assert g.n_nodes == ds.n_users
+
+
+def test_negative_sampler_avoids_used():
+    users = np.array([1, 1, 2, 3])
+    items = np.array([1, 2, 1, 4])
+    s = UniformNegativeSampler(users, items, n_users=5, n_items=6)
+    rng = np.random.default_rng(0)
+    negs = s.sample(np.array([1] * 200), 1, rng).reshape(-1)
+    assert set(negs.tolist()).isdisjoint({1, 2})
+    assert negs.min() >= 1 and negs.max() < 6
+
+
+def test_sampler_deterministic():
+    users = np.arange(1, 50) % 5 + 1
+    items = np.arange(1, 50) % 7 + 1
+    s = UniformNegativeSampler(users, items, 6, 8)
+    a = s.sample(users, 2, np.random.default_rng(42))
+    b = s.sample(users, 2, np.random.default_rng(42))
+    np.testing.assert_array_equal(a, b)

@@ -1,0 +1,24 @@
+"""End-to-end 1-epoch smoke tests, general family — the reference's
+test strategy (tests/test_model.py:14-86) reproduced over the fixture."""
+
+from conftest import base_config_dict
+
+from recbole_gnn_tpu.quick_start import objective_function
+
+
+def quick_test(config_dict):
+    res = objective_function(config_dict=base_config_dict(**config_dict),
+                             saved=False)
+    assert "test_result" in res
+    for v in res["test_result"].values():
+        assert 0.0 <= v <= 1.0
+    return res
+
+
+def test_lightgcn():
+    quick_test({"model": "LightGCN"})
+
+
+def test_lightgcn_metrics_nontrivial():
+    res = quick_test({"model": "LightGCN", "epochs": 3})
+    assert res["test_result"]["recall@10"] > 0.0

@@ -151,3 +151,58 @@ def test_chunked_topk_matches_full():
     scores = np.asarray(ue) @ np.asarray(ie).T
     want = np.argsort(-scores, axis=1)[:, :5]
     np.testing.assert_array_equal(np.asarray(i1), want)
+
+
+def test_spmm_custom_vjp_grad_matches_autodiff():
+    rng = np.random.default_rng(8)
+    src, dst, w, n = random_graph(rng, n=30, e=150)
+    g = build_graph(src, dst, w, n)
+    x = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+
+    def f_custom(x_):
+        return jnp.sum(spmm(g, x_) * cot)
+
+    def f_ref(x_):
+        from recbole_gnn_tpu.ops.spmm import spmm_coo
+        return jnp.sum(spmm_coo(g.src, g.dst, g.weight, x_, n) * cot)
+
+    g1 = np.asarray(jax.grad(f_custom)(x))
+    g2 = np.asarray(jax.grad(f_ref)(x))
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_weight_grad():
+    rng = np.random.default_rng(9)
+    src, dst, w, n = random_graph(rng, n=20, e=60)
+    g = build_graph(src, dst, w, n)
+    x = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+
+    def f(w_):
+        return jnp.sum(spmm(g.with_weight(w_), x) * cot)
+
+    gw = np.asarray(jax.grad(f)(g.weight))
+    want = np.asarray([np.dot(np.asarray(x)[s], np.asarray(cot)[d])
+                       for s, d in zip(np.asarray(g.src), np.asarray(g.dst))])
+    np.testing.assert_allclose(gw, want, rtol=1e-4, atol=1e-4)
+
+
+def test_reverse_graph_backward_consistent():
+    rng = np.random.default_rng(10)
+    src, dst, w, n = random_graph(rng, n=25, e=120)
+    g = build_graph(src, dst, w, n)
+    gr = g.reverse()
+    x = jnp.asarray(rng.normal(size=(n, 6)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(n, 6)), jnp.float32)
+    grad = np.asarray(jax.grad(lambda x_: jnp.sum(spmm(gr, x_) * cot))(x))
+    want = np.asarray(jax.grad(
+        lambda x_: jnp.sum(spmm_coo_ref(dst, src, w, x_, n) * cot))(x))
+    np.testing.assert_allclose(grad, want, rtol=1e-4, atol=1e-4)
+
+
+def spmm_coo_ref(src, dst, w, x, n):
+    from recbole_gnn_tpu.ops.spmm import spmm_coo
+    order = np.argsort(dst, kind="stable")
+    return spmm_coo(jnp.asarray(src[order]), jnp.asarray(dst[order]),
+                    jnp.asarray(w[order]), x, n)
