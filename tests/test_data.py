@@ -80,7 +80,7 @@ def test_calc_split_counts():
 
 def test_norm_adj_symmetric_weights():
     ds = GeneralGraphDataset(make_config())
-    g = ds.get_norm_adj_graph()
+    g = ds.get_norm_adj_graph(force_sparse=True)
     n = ds.n_users + ds.n_items
     assert g.n_nodes == n
     assert g.n_edges == 2 * ds.inter_num
@@ -90,6 +90,21 @@ def test_norm_adj_symmetric_weights():
     # row sums of D^-1/2 A D^-1/2 == deg^-1/2 * sum(deg_j^-1/2) bounded by 1
     w = np.asarray(g.weight)
     assert (w > 0).all()
+
+
+def test_norm_adj_dense_matches_sparse():
+    ds = GeneralGraphDataset(make_config())
+    gs = ds.get_norm_adj_graph(force_sparse=True)
+    gd = ds.get_norm_adj_graph()
+    from recbole_gnn_tpu.ops.spmm import BipartiteDenseGraph, spmm_any
+    assert isinstance(gd, BipartiteDenseGraph)
+    assert gd.n_edges == gs.n_edges
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(gs.n_nodes, 8)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(spmm_any(gd, x)),
+                               np.asarray(spmm_any(gs, x)),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_sequential_augmentation():
