@@ -46,6 +46,36 @@ class Evaluator:
         return sums
 
     @partial(jax.jit, static_argnums=0)
+    def _nonfactorized_full_sort_batch(self, params, extras, batch):
+        users = batch["user_id"]
+        scores = self.model.score_users_vs_all(params, users)
+        B = scores.shape[0]
+        rows = jnp.arange(B)[:, None]
+        hist = batch["history_items"]
+        mask = jnp.zeros(scores.shape, dtype=bool).at[rows, hist].set(True)
+        mask = mask.at[:, 0].set(True)
+        scores = jnp.where(mask, NEG_INF, scores)
+        _, idx = jax.lax.top_k(scores, self.max_k)
+        return self._metric_sums(idx, batch["pos_items"], batch["pos_len"],
+                                 batch["weight"])
+
+    @partial(jax.jit, static_argnums=0)
+    def _nonfactorized_candidates_batch(self, params, extras, batch):
+        users = batch["user_id"]
+        cand = batch["candidates"]
+        scores = self.model.score_users_vs_all(params, users)
+        cscores = jnp.take_along_axis(scores, cand, axis=1)
+        valid = jnp.arange(cand.shape[1])[None, :] < batch["cand_len"][:, None]
+        cscores = jnp.where(valid, cscores, NEG_INF)
+        k = min(self.max_k, cand.shape[1])
+        _, pos_idx = jax.lax.top_k(cscores, k)
+        topk_items = jnp.take_along_axis(cand, pos_idx, axis=1)
+        if k < self.max_k:
+            topk_items = jnp.pad(topk_items, ((0, 0), (0, self.max_k - k)))
+        return self._metric_sums(topk_items, batch["pos_items"],
+                                 batch["pos_len"], batch["weight"])
+
+    @partial(jax.jit, static_argnums=0)
     def _general_full_sort_batch(self, user_all, item_all, batch):
         users = batch["user_id"]
         u_e = user_all[users]
@@ -112,6 +142,12 @@ class Evaluator:
                 fn = (self._sequential_full_sort_batch if mode == "full"
                       else self._sequential_candidates_batch)
                 sums = fn(params, extras, batch, self._eval_rng)
+                self._accumulate(totals, sums)
+        elif not self.model.factorized_eval:
+            for batch in loader:
+                fn = (self._nonfactorized_full_sort_batch if mode == "full"
+                      else self._nonfactorized_candidates_batch)
+                sums = fn(params, extras, batch)
                 self._accumulate(totals, sums)
         else:
             if self._propagate_jit is None:

@@ -34,6 +34,9 @@ Batch = Any
 class BaseRecommender:
     model_type: ModelType = ModelType.GENERAL
     input_type: InputType = InputType.PAIRWISE
+    # False for models whose scores are not a user·item factorization
+    # (e.g. NeuMF's MLP head) — eval then calls score_users_vs_all
+    factorized_eval: bool = True
 
     def __init__(self, config, dataset):
         self.config = config

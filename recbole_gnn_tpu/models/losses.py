@@ -90,3 +90,79 @@ def cross_entropy(logits: jax.Array, targets: jax.Array,
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
     return _wmean(nll, weight)
+
+
+def masked_unique(ids: jax.Array, size: int | None = None
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Static-shape unique: (unique ids padded with 0, validity mask).
+
+    The reference dedupes batch users/items before contrastive losses
+    (simgcl.py:53-54); jnp.unique(size=…) keeps the shape static under
+    jit, and id 0 (PAD, never in a batch) marks fill slots."""
+    size = ids.shape[0] if size is None else size
+    u = jnp.unique(ids, size=size, fill_value=0)
+    return u, u > 0
+
+
+def cl_nce_masked(view1: jax.Array, view2: jax.Array, temperature: float,
+                  mask: jax.Array, reduction: str = "sum") -> jax.Array:
+    """InfoNCE over masked rows: positives are aligned rows, negatives
+    are the *other valid rows of view2* — exactly the reference's
+    unique-batch CL (simgcl.py:40-47) with fill rows excluded from both
+    numerator and denominator."""
+    # substitute fill rows with ones BEFORE normalizing: masking only the
+    # value leaves a 0/0 in the norm's backward (NaN·0 = NaN through where)
+    view1 = jnp.where(mask[:, None], view1, 1.0)
+    view2 = jnp.where(mask[:, None], view2, 1.0)
+    v1 = view1 / jnp.maximum(jnp.linalg.norm(view1, axis=-1, keepdims=True), 1e-12)
+    v2 = view2 / jnp.maximum(jnp.linalg.norm(view2, axis=-1, keepdims=True), 1e-12)
+    pos = jnp.sum(v1 * v2, axis=-1) / temperature
+    logits = jnp.dot(v1, v2.T, preferred_element_type=jnp.float32) / temperature
+    logits = jnp.where(mask[None, :], logits, -1e30)
+    loss = jax.nn.logsumexp(logits, axis=-1) - pos
+    loss = jnp.where(mask, loss, 0.0)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def batch_softmax_loss(user_emb: jax.Array, item_emb: jax.Array,
+                       temperature: float,
+                       weight: jax.Array | None = None) -> jax.Array:
+    """In-batch sampled-softmax (SSL4REC rec loss, ssl4rec.py:50-57):
+    positives on the diagonal, other batch items as negatives."""
+    u = user_emb / jnp.maximum(jnp.linalg.norm(user_emb, axis=-1, keepdims=True), 1e-12)
+    i = item_emb / jnp.maximum(jnp.linalg.norm(item_emb, axis=-1, keepdims=True), 1e-12)
+    pos = jnp.sum(u * i, axis=-1) / temperature
+    logits = jnp.dot(u, i.T, preferred_element_type=jnp.float32) / temperature
+    if weight is not None:
+        logits = jnp.where(weight[None, :] > 0, logits, -jnp.inf)
+    loss = jax.nn.logsumexp(logits, axis=-1) - pos
+    return _wmean(loss, weight)
+
+
+def alignment_loss(x: jax.Array, y: jax.Array,
+                   weight: jax.Array | None = None,
+                   alpha: int = 2) -> jax.Array:
+    """DirectAU alignment: mean ‖x−y‖₂^α over pairs (directau.py:54-56)."""
+    d = jnp.sqrt(jnp.maximum(jnp.sum((x - y) ** 2, axis=-1), 1e-24)) ** alpha
+    return _wmean(d, weight)
+
+
+def uniformity_loss(x: jax.Array, weight: jax.Array | None = None,
+                    t: float = 2.0) -> jax.Array:
+    """DirectAU uniformity: log mean exp(−t·‖xᵢ−xⱼ‖²) over i<j pairs
+    (directau.py:58-60, torch.pdist semantics)."""
+    sq = jnp.sum(x * x, axis=-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
+        x, x.T, preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(d2, 0.0)
+    n = x.shape[0]
+    iu = jnp.triu_indices(n, k=1)
+    vals = jnp.exp(-t * d2[iu])
+    if weight is not None:
+        wpair = weight[iu[0]] * weight[iu[1]]
+        mean = jnp.sum(vals * wpair) / jnp.maximum(jnp.sum(wpair), 1.0)
+    else:
+        mean = jnp.mean(vals)
+    return jnp.log(jnp.maximum(mean, 1e-24))

@@ -220,3 +220,19 @@ def spmm_any(graph, x: jax.Array) -> jax.Array:
     if isinstance(graph, BipartiteDenseGraph):
         return spmm_dense_bipartite(graph, x)
     return spmm(graph, x)
+
+
+def spmm_dense_bipartite_dropout(graph: BipartiteDenseGraph, x: jax.Array,
+                                 rng: jax.Array, drop_p: float) -> jax.Array:
+    """Dense propagation with per-direction edge dropout (no rescale),
+    matching PyG dropout_adj semantics on the COO path (each direction
+    dropped independently, weights kept as-is — ngcf.py:75-93)."""
+    k1, k2 = jax.random.split(rng)
+    xu, xi = x[:graph.n_users], x[graph.n_users:]
+    m1 = jax.random.bernoulli(k1, 1.0 - drop_p, graph.a.shape)
+    m2 = jax.random.bernoulli(k2, 1.0 - drop_p, graph.a.shape)
+    a1 = jnp.where(m1, graph.a, 0.0)
+    a2 = jnp.where(m2, graph.a, 0.0)
+    out_u = jnp.dot(a1, xi, preferred_element_type=jnp.float32)
+    out_i = jnp.dot(a2.T, xu, preferred_element_type=jnp.float32)
+    return jnp.concatenate([out_u, out_i], axis=0)

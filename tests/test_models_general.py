@@ -22,3 +22,39 @@ def test_lightgcn():
 def test_lightgcn_metrics_nontrivial():
     res = quick_test({"model": "LightGCN", "epochs": 3})
     assert res["test_result"]["recall@10"] > 0.0
+
+
+def test_bpr():
+    quick_test({"model": "BPR"})
+
+
+def test_neumf():
+    quick_test({"model": "NeuMF"})
+
+
+def test_ngcf():
+    quick_test({"model": "NGCF"})
+
+
+def test_ngcf_node_dropout():
+    quick_test({"model": "NGCF", "node_dropout": 0.2})
+
+
+def test_simgcl():
+    quick_test({"model": "SimGCL"})
+
+
+def test_xsimgcl():
+    quick_test({"model": "XSimGCL"})
+
+
+def test_directau_mf():
+    quick_test({"model": "DirectAU"})
+
+
+def test_directau_lightgcn():
+    quick_test({"model": "DirectAU", "encoder": "LightGCN"})
+
+
+def test_ssl4rec():
+    quick_test({"model": "SSL4REC"})
