@@ -1,0 +1,173 @@
+"""SGL — self-supervised graph learning with stochastic augmentations.
+
+Parity target: reference sgl.py — LightGCN backbone + two augmented
+views rebuilt every epoch via train() (:73-80); aug types ND (node
+drop), ED (edge drop), RW (per-layer edge drop) with *re-normalized*
+sub-graphs (:93-126); sum-reduced BPR + EmbLoss (:147-174) + InfoNCE
+over batch users/pos-items against ALL nodes of view 2, sum-reduced
+(:176-209).
+
+TPU-first: augmentation never resizes edge lists.  On the dense path
+the two views are dense re-normalized matrices rebuilt per epoch on
+device (epoch_start); on the sparse path they are per-edge weight
+arrays over the static COO (mask → sym_norm re-normalization).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from recbole_gnn_tpu.models.base import GeneralGraphRecommender
+from recbole_gnn_tpu.models.init import xavier_uniform
+from recbole_gnn_tpu.models.losses import emb_loss, info_nce
+from recbole_gnn_tpu.ops.graphops import sym_norm_weights
+from recbole_gnn_tpu.ops.spmm import (
+    BipartiteDenseGraph, spmm_any, spmm_dense_bipartite)
+
+
+class SGL(GeneralGraphRecommender):
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.latent_dim = int(config["embedding_size"] or 64)
+        self.n_layers = int(config["n_layers"] or 3)
+        self.aug_type = str(config["type"] or "ED")
+        self.drop_ratio = float(config["drop_ratio"] or 0.1)
+        self.ssl_tau = float(config["ssl_tau"] or 0.5)
+        self.reg_weight = float(config["reg_weight"] or 1e-5)
+        self.ssl_weight = float(config["ssl_weight"] or 0.05)
+        if self.aug_type not in ("ND", "ED", "RW"):
+            raise ValueError(f"unknown SGL aug type {self.aug_type!r}")
+        # raw interaction endpoints for augmentation (reference :55-57)
+        users, items = dataset.user_item_arrays()
+        self.consts["aug_users"] = jnp.asarray(users)
+        self.consts["aug_items"] = jnp.asarray(items)
+        self._is_dense = isinstance(self.consts["graph"], BipartiteDenseGraph)
+        if not self._is_dense:
+            # map each dst-sorted edge back to its interaction row so an
+            # interaction keep-mask can be scattered onto edge weights
+            # (mirrors build_graph's stable dst argsort)
+            import numpy as np
+            n_inter = len(users)
+            dst_cat = np.concatenate([items + self.n_users, users])
+            order = np.argsort(dst_cat, kind="stable")
+            self.consts["edge_inter_id"] = jnp.asarray(
+                (order % n_inter).astype(np.int32))
+        self._aug_builder = None
+
+    # -- augmentation ----------------------------------------------------
+
+    def _keep_mask(self, rng, n_inter, users, items):
+        if self.aug_type == "ND":
+            ku, ki = jax.random.split(rng)
+            keep_u = jax.random.uniform(ku, (self.n_users,)) >= self.drop_ratio
+            keep_i = jax.random.uniform(ki, (self.n_items,)) >= self.drop_ratio
+            return keep_u[users] & keep_i[items]
+        return jax.random.uniform(rng, (n_inter,)) >= self.drop_ratio
+
+    def _build_view(self, rng):
+        """One augmented view: (n_layers, …) stacked graph weights."""
+        users = self.consts["aug_users"]
+        items = self.consts["aug_items"]
+        n_inter = users.shape[0]
+        n_rep = self.n_layers if self.aug_type == "RW" else 1
+        keys = jax.random.split(rng, n_rep)
+        outs = []
+        for k in keys:
+            keep = self._keep_mask(k, n_inter, users, items)
+            if self._is_dense:
+                kf = keep.astype(jnp.float32)
+                a_bin = jnp.zeros(
+                    (self.n_users, self.n_items)).at[users, items].add(kf)
+                deg_u = a_bin.sum(axis=1)
+                deg_i = a_bin.sum(axis=0)
+                du = jnp.where(deg_u > 0, jax.lax.rsqrt(jnp.maximum(deg_u, 1e-12)), 0.0)
+                di = jnp.where(deg_i > 0, jax.lax.rsqrt(jnp.maximum(deg_i, 1e-12)), 0.0)
+                outs.append(a_bin * du[:, None] * di[None, :])
+            else:
+                g = self.consts["graph"]
+                # both directions of a kept interaction survive; map the
+                # interaction keep-mask onto dst-sorted edge order
+                mask_e = keep[self.consts["edge_inter_id"]]
+                outs.append(sym_norm_weights(g.src, g.dst, g.n_nodes,
+                                             mask=mask_e))
+        if n_rep == 1:
+            outs = outs * self.n_layers
+        return jnp.stack(outs, axis=0)
+
+    def init_extras(self, rng):
+        k1, k2 = jax.random.split(rng)
+        return {"view1": self._build_view(k1), "view2": self._build_view(k2)}
+
+    def epoch_start(self, epoch, params, consts, extras, rng):
+        # views rebuilt every epoch (reference train() override :73-80)
+        if self._aug_builder is None:
+            def build(r):
+                k1, k2 = jax.random.split(r)
+                return {"view1": self._build_view(k1),
+                        "view2": self._build_view(k2)}
+            self._aug_builder = jax.jit(build)
+        return self._aug_builder(rng)
+
+    # -- forward ---------------------------------------------------------
+
+    def _propagate_layers(self, params, graph_per_layer):
+        x = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
+        outs = [x]
+        for layer_graph in graph_per_layer:
+            x = layer_graph(x)
+            outs.append(x)
+        final = jnp.mean(jnp.stack(outs, axis=0), axis=0)
+        return final[:self.n_users], final[self.n_users:]
+
+    def _forward_base(self, params, consts):
+        g = consts["graph"]
+        return self._propagate_layers(
+            params, [lambda x, g=g: spmm_any(g, x)] * self.n_layers)
+
+    def _forward_view(self, params, consts, view_weights):
+        if self._is_dense:
+            layers = [
+                (lambda x, a=view_weights[l]: spmm_dense_bipartite(
+                    BipartiteDenseGraph(a, self.n_users, self.n_items, 0), x))
+                for l in range(self.n_layers)]
+        else:
+            g = consts["graph"]
+            layers = [
+                (lambda x, w=view_weights[l]: spmm_any(g.with_weight(w), x))
+                for l in range(self.n_layers)]
+        return self._propagate_layers(params, layers)
+
+    def init_params(self, rng):
+        ku, ki = jax.random.split(rng)
+        return {
+            "user_emb": xavier_uniform(ku, (self.n_users, self.latent_dim)),
+            "item_emb": xavier_uniform(ki, (self.n_items, self.latent_dim)),
+        }
+
+    def propagate(self, params, consts, extras):
+        return self._forward_base(params, consts)
+
+    def calculate_loss(self, params, consts, extras, batch, rng, mode=0):
+        user, pos, neg = batch["user_id"], batch["item_id"], batch["neg_item_id"]
+        w = batch.get("weight")
+        u_all, i_all = self._forward_base(params, consts)
+        u1, i1 = self._forward_view(params, consts, extras["view1"])
+        u2, i2 = self._forward_view(params, consts, extras["view2"])
+
+        u_e, p_e, n_e = u_all[user], i_all[pos], i_all[neg]
+        l1 = -jax.nn.log_sigmoid(
+            jnp.sum(u_e * p_e, -1) - jnp.sum(u_e * n_e, -1))
+        if w is not None:
+            l1 = l1 * w
+        bpr = jnp.sum(l1)  # sum-reduced (reference :162)
+        reg = emb_loss([params["user_emb"][user], params["item_emb"][pos],
+                        params["item_emb"][neg]], user.shape[0], weight=w)
+
+        ssl = (info_nce(u1[user], u2[user], self.ssl_tau, weight=w,
+                        all_view2=u2, reduction="sum") +
+               info_nce(i1[pos], i2[pos], self.ssl_tau, weight=w,
+                        all_view2=i2, reduction="sum"))
+        loss = bpr + reg * self.reg_weight + ssl * self.ssl_weight
+        return loss, {"bpr": bpr, "reg": reg, "ssl": ssl}

@@ -58,3 +58,44 @@ def test_directau_lightgcn():
 
 def test_ssl4rec():
     quick_test({"model": "SSL4REC"})
+
+
+def test_sgl_ed():
+    quick_test({"model": "SGL"})
+
+
+def test_sgl_nd():
+    quick_test({"model": "SGL", "type": "ND"})
+
+
+def test_sgl_rw():
+    quick_test({"model": "SGL", "type": "RW"})
+
+
+def test_sgl_sparse_path():
+    quick_test({"model": "SGL", "enable_sparse": True})
+
+
+def test_ncl():
+    quick_test({"model": "NCL", "num_clusters": 10})
+
+
+def test_ncl_past_warmup():
+    quick_test({"model": "NCL", "num_clusters": 10, "warm_up_step": 0,
+                "epochs": 2})
+
+
+def test_hmlet():
+    quick_test({"model": "HMLET"})
+
+
+def test_hmlet_past_warmup():
+    quick_test({"model": "HMLET", "warm_up_epochs": 0, "epochs": 2})
+
+
+def test_lightgcl():
+    quick_test({"model": "LightGCL"})
+
+
+def test_lightgcl_dropout():
+    quick_test({"model": "LightGCL", "dropout": 0.2})
