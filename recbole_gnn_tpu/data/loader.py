@@ -202,6 +202,12 @@ class SequentialTrainLoader:
         self.batch_size = int(config["train_batch_size"] or 2048)
         self.seed = int(config["seed"] or 2020) + seed_offset
         self.epoch = 0
+        neg_args = config["train_neg_sample_args"]
+        self.neg_num = int((neg_args or {}).get("sample_num", 1)) if neg_args else 0
+        if self.neg_num:
+            users, items = dataset.user_item_arrays()
+            self.sampler = UniformNegativeSampler(
+                users, items, dataset.n_users, dataset.n_items)
 
     def __len__(self):
         return -(-self.n // self.batch_size)
@@ -212,8 +218,11 @@ class SequentialTrainLoader:
         perm = rng.permutation(self.n)
         for lo in range(0, self.n, self.batch_size):
             rows = perm[lo:lo + self.batch_size]
-            yield _pad_batch(_session_batch(self.dataset, rows),
-                             self.batch_size)
+            b = _session_batch(self.dataset, rows)
+            if self.neg_num:
+                negs = self.sampler.sample(b["user_id"], self.neg_num, rng)
+                b["neg_item_id"] = negs[:, 0] if self.neg_num == 1 else negs
+            yield _pad_batch(b, self.batch_size)
 
 
 class SequentialFullSortEvalLoader:

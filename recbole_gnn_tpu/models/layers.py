@@ -148,7 +148,7 @@ def transformer_params(rng: jax.Array, n_layers: int, n_heads: int,
             "ln1": {"g": jnp.ones((d_model,)), "b": jnp.zeros((d_model,))},
             "ln2": {"g": jnp.ones((d_model,)), "b": jnp.zeros((d_model,))},
         })
-    return {"layers": layers, "n_heads": n_heads}
+    return {"layers": layers}
 
 
 def layer_norm(p: dict, x: jax.Array, eps: float = 1e-12) -> jax.Array:
@@ -159,11 +159,10 @@ def layer_norm(p: dict, x: jax.Array, eps: float = 1e-12) -> jax.Array:
 
 def transformer_encoder(p: dict, x: jax.Array, attn_mask: jax.Array,
                         dropout_rng: jax.Array | None = None,
-                        dropout: float = 0.0) -> jax.Array:
+                        dropout: float = 0.0, n_heads: int = 1) -> jax.Array:
     """Post-LN transformer (the [recbole] TransformerEncoder layout used
     by GCSAN, gcsan.py:59-68).  ``attn_mask`` is (B, T, T) additive
-    (0 keep / -inf drop)."""
-    n_heads = p["n_heads"]
+    (0 keep / -inf drop); ``n_heads`` is static (not part of params)."""
     B, T, D = x.shape
     dh = D // n_heads
 
