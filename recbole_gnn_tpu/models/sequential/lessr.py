@@ -1,0 +1,223 @@
+"""LESSR — edge-order-preserving aggregation + shortcut attention.
+
+Parity target: reference lessr.py — alternating EOPA (GRU over the
+time-ordered in-edge mailbox, :24-60) and SGAT (shortcut-graph
+attention, :63-97) with dense feature concat growth; AttnReadout
+(:100-137); max_norm=1 item embeddings; CE only.
+
+TPU-native replacement for the DGL path (SURVEY.md §7.3): the EOP
+multigraph's ordered mailbox GRU runs as a lax.scan over edge
+*positions* — at step p every session updates the state of its edge-p
+destination node via one-hot blending, which reproduces DGL's
+per-node time-ordered GRU exactly (edges are stored in sequence
+order, data/session.py LESSRDataset).  SGAT and the readout are dense
+masked attention.
+
+BatchNorm uses masked batch statistics over real nodes (the node
+population); the reference's running eval stats track the same
+distribution.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from recbole_gnn_tpu.models.base import SequentialRecommender
+from recbole_gnn_tpu.models.init import linear, linear_params, normal_init, \
+    split_keys, xavier_uniform
+from recbole_gnn_tpu.models.layers import gru_params, gru_step
+from recbole_gnn_tpu.models.losses import cross_entropy
+
+
+def _prelu(alpha, x):
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def _masked_bn(p, x, mask):
+    """BatchNorm over valid nodes only; (B, L, D) x, (B, L) mask."""
+    m = mask[:, :, None].astype(x.dtype)
+    cnt = jnp.maximum(m.sum(), 1.0)
+    mu = (x * m).sum(axis=(0, 1)) / cnt
+    var = (((x - mu) ** 2) * m).sum(axis=(0, 1)) / cnt
+    return ((x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]) * m
+
+
+def _bn_params(d):
+    return {"g": jnp.ones((d,)), "b": jnp.zeros((d,))}
+
+
+class LESSR(SequentialRecommender):
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.embedding_size = int(config["embedding_size"] or 64)
+        self.num_layers = int(config["n_layers"] or 4)
+        self.batch_norm = config["batch_norm"] is not False
+        self.feat_drop = float(config["feat_drop"] or 0.2)
+        self.loss_type = str(config["loss_type"] or "CE")
+        if self.loss_type != "CE":
+            raise NotImplementedError("LESSR supports CE only")
+
+    def init_params(self, rng):
+        d = self.embedding_size
+        ks = split_keys(rng, 3 + self.num_layers)
+        params = {"item_emb": normal_init(ks[0], (self.n_items, d), 1.0 /
+                                          jnp.sqrt(d).item()),
+                  "layers": []}
+        input_dim = d
+        for i in range(self.num_layers):
+            k = ks[1 + i]
+            if i % 2 == 0:  # EOPA
+                lk = split_keys(k, 3)
+                lp = {
+                    "gru": gru_params(lk[0], input_dim, input_dim),
+                    "fc_self": linear_params(lk[1], input_dim, d, bias=False),
+                    "fc_neigh": linear_params(lk[2], input_dim, d, bias=False),
+                    "prelu": jnp.full((d,), 0.25),
+                }
+            else:  # SGAT
+                lk = split_keys(k, 4)
+                lp = {
+                    "fc_q": linear_params(lk[0], input_dim, d),
+                    "fc_k": linear_params(lk[1], input_dim, d, bias=False),
+                    "fc_v": linear_params(lk[2], input_dim, d, bias=False),
+                    "fc_e": linear_params(lk[3], d, 1, bias=False),
+                    "prelu": jnp.full((d,), 0.25),
+                }
+            if self.batch_norm:
+                lp["bn"] = _bn_params(input_dim)
+            params["layers"].append(lp)
+            input_dim += d
+        kr = split_keys(ks[-2], 4)
+        params["readout"] = {
+            "fc_u": linear_params(kr[0], input_dim, d, bias=False),
+            "fc_v": linear_params(kr[1], input_dim, d),
+            "fc_e": linear_params(kr[2], d, 1, bias=False),
+            "fc_out": linear_params(kr[3], input_dim, d, bias=False),
+            "prelu": jnp.full((d,), 0.25),
+        }
+        if self.batch_norm:
+            params["readout"]["bn"] = _bn_params(input_dim)
+            params["bn_sr"] = _bn_params(input_dim + d)
+        params["fc_sr"] = linear_params(ks[-1], input_dim + d, d, bias=False)
+        return params
+
+    def _dropout(self, rng, x, train):
+        if not train or self.feat_drop <= 0:
+            return rng, x
+        rng, k = jax.random.split(rng)
+        keep = jax.random.bernoulli(k, 1.0 - self.feat_drop, x.shape)
+        return rng, jnp.where(keep, x / (1.0 - self.feat_drop), 0.0)
+
+    def _eopa(self, lp, feat, batch, nmask, rng, train):
+        """GRU over each node's time-ordered in-edge messages."""
+        B, L, _ = feat.shape
+        if self.batch_norm:
+            feat = _masked_bn(lp["bn"], feat, nmask)
+        rng, dropped = self._dropout(rng, feat, train)
+        eop_src, eop_dst, n_eop = batch["eop_src"], batch["eop_dst"], \
+            batch["n_eop"]
+        E = eop_src.shape[1]
+        state0 = jnp.zeros_like(feat)
+
+        def step(state, p):
+            src = eop_src[:, p]
+            dst = eop_dst[:, p]
+            valid = (p < n_eop)
+            msg = jnp.take_along_axis(dropped, src[:, None, None],
+                                      axis=1)[:, 0]
+            cur = jnp.take_along_axis(state, dst[:, None, None], axis=1)[:, 0]
+            new = gru_step(lp["gru"], cur, msg)
+            new = jnp.where(valid[:, None], new, cur)
+            oh = jax.nn.one_hot(dst, L, dtype=state.dtype)[:, :, None]
+            state = state * (1.0 - oh) + new[:, None, :] * oh
+            return state, None
+
+        neigh, _ = jax.lax.scan(step, state0, jnp.arange(E))
+        out = linear(lp["fc_self"], feat) + linear(lp["fc_neigh"], neigh)
+        return rng, _prelu(lp["prelu"], out)
+
+    def _sgat(self, lp, feat, batch, nmask, rng, train):
+        B, L, _ = feat.shape
+        if self.batch_norm:
+            feat = _masked_bn(lp["bn"], feat, nmask)
+        rng, feat = self._dropout(rng, feat, train)
+        q = linear(lp["fc_q"], feat)
+        k = linear(lp["fc_k"], feat)
+        v = linear(lp["fc_v"], feat)
+        # dense shortcut adjacency: edge src→dst; e = fc_e(σ(q_src + k_dst))
+        src, dst, n_cut = batch["cut_src"], batch["cut_dst"], batch["n_cut"]
+        E = src.shape[1]
+        evalid = jnp.arange(E)[None, :] < n_cut[:, None]
+        rows = jnp.repeat(jnp.arange(B), E).reshape(B, E)
+        adj = jnp.zeros((B, L, L)).at[rows, dst, src].max(
+            evalid.astype(jnp.float32))
+        e = linear(lp["fc_e"], jax.nn.sigmoid(
+            q[:, None, :, :] + k[:, :, None, :]))[..., 0]  # (B, dst, src)
+        e = jnp.where(adj > 0, e, -1e30)
+        alpha = jax.nn.softmax(e, axis=-1) * (adj > 0)
+        out = jnp.einsum("bij,bjd->bid", alpha, v)
+        return rng, _prelu(lp["prelu"], out)
+
+    def _readout(self, rp, feat, last_slot, nmask, rng, train):
+        if self.batch_norm:
+            feat = _masked_bn(rp["bn"], feat, nmask)
+        rng, feat = self._dropout(rng, feat, train)
+        fu = linear(rp["fc_u"], feat)
+        last_feat = jnp.take_along_axis(feat, last_slot[:, None, None],
+                                        axis=1)[:, 0]
+        fv = linear(rp["fc_v"], last_feat)[:, None, :]
+        e = linear(rp["fc_e"], jax.nn.sigmoid(fu + fv))[..., 0]
+        e = jnp.where(nmask, e, -1e30)
+        alpha = jax.nn.softmax(e, axis=1)[:, :, None]
+        rst = jnp.sum(feat * alpha * nmask[:, :, None], axis=1)
+        rst = linear(rp["fc_out"], rst)
+        return rng, _prelu(rp["prelu"], rst)
+
+    def seq_output(self, params, batch, rng, train):
+        L = batch["x"].shape[1]
+        n = batch["n_nodes"]
+        # node mask incl. the reference's single PAD node per short session
+        nmask = jnp.arange(L)[None, :] < (n + (n < L))[:, None]
+        emb = params["item_emb"]
+        # max_norm=1 renorm on use (torch Embedding max_norm semantics)
+        norms = jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        emb = emb * jnp.minimum(1.0, 1.0 / norms)
+        feat = emb[batch["x"]]
+
+        for i, lp in enumerate(params["layers"]):
+            if i % 2 == 0:
+                rng, out = self._eopa(lp, feat, batch, nmask, rng, train)
+            else:
+                rng, out = self._sgat(lp, feat, batch, nmask, rng, train)
+            feat = jnp.concatenate([out, feat], axis=-1)
+
+        last_alias = jnp.take_along_axis(
+            batch["alias_inputs"],
+            jnp.maximum(batch["item_seq_len"] - 1, 0)[:, None], axis=1)[:, 0]
+        rng, sr_g = self._readout(
+            params["readout"], feat, last_alias, nmask, rng, train)
+        # sr_l uses the raw concatenated feat (reference lessr.py:219)
+        sr_l = jnp.take_along_axis(feat, last_alias[:, None, None],
+                                   axis=1)[:, 0]
+        sr = jnp.concatenate([sr_l, sr_g], axis=-1)
+        if self.batch_norm:
+            mu = jnp.mean(sr, axis=0)
+            var = jnp.var(sr, axis=0)
+            sr = (sr - mu) * jax.lax.rsqrt(var + 1e-5) * \
+                params["bn_sr"]["g"] + params["bn_sr"]["b"]
+        rng, sr = self._dropout(rng, sr, train)
+        return linear(params["fc_sr"], sr)
+
+    def full_scores(self, params, consts, extras, batch, rng, train):
+        out = self.seq_output(params, batch, rng, train)
+        emb = params["item_emb"]
+        norms = jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        emb = emb * jnp.minimum(1.0, 1.0 / norms)
+        return jnp.dot(out, emb.T, preferred_element_type=jnp.float32)
+
+    def calculate_loss(self, params, consts, extras, batch, rng, mode=0):
+        logits = self.full_scores(params, consts, extras, batch, rng, True)
+        loss = cross_entropy(logits, batch["item_id"], batch.get("weight"))
+        return loss, {"ce": loss}

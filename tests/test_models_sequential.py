@@ -45,3 +45,27 @@ def test_gcsan():
 
 def test_sgnnhn():
     quick_test({"model": "SGNNHN"})
+
+
+def test_gru4rec():
+    quick_test({"model": "GRU4Rec"})
+
+
+def test_narm():
+    quick_test({"model": "NARM"})
+
+
+def test_sasrec():
+    quick_test({"model": "SASRec"})
+
+
+def test_gcegnn():
+    quick_test({"model": "GCEGNN"})
+
+
+def test_gcegnn_hop2(): 
+    quick_test({"model": "GCEGNN", "hop": 2, "sample_num": 4})
+
+
+def test_lessr():
+    quick_test({"model": "LESSR"})
