@@ -24,7 +24,8 @@ from recbole_gnn_tpu.ops.spmm import spmm_any
 
 
 def _normalize(x):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    from recbole_gnn_tpu.models.init import l2_normalize
+    return l2_normalize(x)
 
 
 class NCL(LightGCN):

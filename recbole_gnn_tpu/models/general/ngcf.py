@@ -71,8 +71,8 @@ class NGCF(GeneralGraphRecommender):
                 keep = jax.random.bernoulli(k, 1.0 - self.message_dropout,
                                             x.shape)
                 x = jnp.where(keep, x / (1.0 - self.message_dropout), 0.0)
-            x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
-                                1e-12)
+            from recbole_gnn_tpu.models.init import l2_normalize
+            x = l2_normalize(x)
             outs.append(x)
         all_emb = jnp.concatenate(outs, axis=1)
         return all_emb[:self.n_users], all_emb[self.n_users:]

@@ -63,3 +63,15 @@ def linear(p: dict, x: jax.Array) -> jax.Array:
 
 def split_keys(rng: jax.Array, n: int) -> list[jax.Array]:
     return list(jax.random.split(rng, n))
+
+
+def l2_normalize(x, eps: float = 1e-12):
+    """Smooth L2 row normalization: x·rsqrt(Σx²+ε).
+
+    Unlike x/max(‖x‖, ε), this has a finite gradient at x = 0 — exact
+    zero rows (isolated PAD nodes after propagation) otherwise inject
+    NaN through the norm's backward even when the value is masked.
+    """
+    import jax
+    import jax.numpy as jnp
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)

@@ -14,6 +14,11 @@ import jax
 import jax.numpy as jnp
 
 
+def _l2n(x):
+    """Smooth L2 normalize (finite grad at 0; see models.init.l2_normalize)."""
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
+
+
 def _wmean(x: jax.Array, weight: jax.Array | None) -> jax.Array:
     if weight is None:
         return jnp.mean(x)
@@ -72,10 +77,9 @@ def info_nce(view1: jax.Array, view2: jax.Array, temperature: float,
     matching the reference models (sgl.py:176-209, simgcl.py:40-60).
     reduction 'sum' reproduces SGL/SimGCL sum-reduction; 'mean' is
     XSimGCL's."""
-    v1 = view1 / jnp.maximum(jnp.linalg.norm(view1, axis=-1, keepdims=True), 1e-12)
-    v2 = view2 / jnp.maximum(jnp.linalg.norm(view2, axis=-1, keepdims=True), 1e-12)
-    av2 = v2 if all_view2 is None else all_view2 / jnp.maximum(
-        jnp.linalg.norm(all_view2, axis=-1, keepdims=True), 1e-12)
+    v1 = _l2n(view1)
+    v2 = _l2n(view2)
+    av2 = v2 if all_view2 is None else _l2n(all_view2)
     pos = jnp.sum(v1 * v2, axis=-1) / temperature
     logits = jnp.dot(v1, av2.T, preferred_element_type=jnp.float32) / temperature
     loss = jax.nn.logsumexp(logits, axis=-1) - pos
@@ -114,8 +118,8 @@ def cl_nce_masked(view1: jax.Array, view2: jax.Array, temperature: float,
     # value leaves a 0/0 in the norm's backward (NaN·0 = NaN through where)
     view1 = jnp.where(mask[:, None], view1, 1.0)
     view2 = jnp.where(mask[:, None], view2, 1.0)
-    v1 = view1 / jnp.maximum(jnp.linalg.norm(view1, axis=-1, keepdims=True), 1e-12)
-    v2 = view2 / jnp.maximum(jnp.linalg.norm(view2, axis=-1, keepdims=True), 1e-12)
+    v1 = _l2n(view1)
+    v2 = _l2n(view2)
     pos = jnp.sum(v1 * v2, axis=-1) / temperature
     logits = jnp.dot(v1, v2.T, preferred_element_type=jnp.float32) / temperature
     logits = jnp.where(mask[None, :], logits, -1e30)
@@ -131,8 +135,8 @@ def batch_softmax_loss(user_emb: jax.Array, item_emb: jax.Array,
                        weight: jax.Array | None = None) -> jax.Array:
     """In-batch sampled-softmax (SSL4REC rec loss, ssl4rec.py:50-57):
     positives on the diagonal, other batch items as negatives."""
-    u = user_emb / jnp.maximum(jnp.linalg.norm(user_emb, axis=-1, keepdims=True), 1e-12)
-    i = item_emb / jnp.maximum(jnp.linalg.norm(item_emb, axis=-1, keepdims=True), 1e-12)
+    u = _l2n(user_emb)
+    i = _l2n(item_emb)
     pos = jnp.sum(u * i, axis=-1) / temperature
     logits = jnp.dot(u, i.T, preferred_element_type=jnp.float32) / temperature
     if weight is not None:

@@ -24,7 +24,8 @@ from recbole_gnn_tpu.models.sequential.common import (
 
 
 def _l2norm(x):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    from recbole_gnn_tpu.models.init import l2_normalize
+    return l2_normalize(x)
 
 
 class NISER(SequentialRecommender):

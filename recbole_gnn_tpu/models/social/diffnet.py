@@ -1,0 +1,78 @@
+"""DiffNet — recursive social influence diffusion.
+
+Parity target: reference social_recommender/diffnet.py — user tower:
+n_layers× row-normalized social propagation with layer SUM, plus
+one-hop item→user interest aggregation over the row-normalized U-I
+graph (:83-106); optional frozen pretrained review embeddings with
+distribution rescale (:64-81); BPR + EmbLoss.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recbole_gnn_tpu.models.base import SocialRecommender
+from recbole_gnn_tpu.models.init import xavier_uniform
+from recbole_gnn_tpu.models.losses import bpr_loss, emb_loss
+from recbole_gnn_tpu.ops.spmm import matvec_any
+
+
+class DiffNet(SocialRecommender):
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.embedding_size = int(config["embedding_size"] or 64)
+        self.n_layers = int(config["n_layers"] or 2)
+        self.reg_weight = float(config["reg_weight"] or 1e-5)
+        if config["pretrained_review"]:
+            raise NotImplementedError(
+                "pretrained_review requires .user/.item review embedding "
+                "side files (reference diffnet.py:64-81); not wired yet")
+
+        users, items = dataset.user_item_arrays()
+        # U←I interest aggregation: A[u, i] = 1/deg(u) (reference
+        # get_bipartite_inter_mat(row='user'), dataset.py:81-99)
+        deg_u = np.bincount(users, minlength=self.n_users).astype(np.float64)
+        a = np.zeros((self.n_users, self.n_items), dtype=np.float32)
+        np.add.at(a, (users, items),
+                  (1.0 / np.maximum(deg_u[users], 1.0)).astype(np.float32))
+        self.consts["ui"] = jnp.asarray(a)
+
+        # social diffusion: new_u[s] = Σ_{(s,t)∈net} 1/deg(s) · u[t]
+        # (reference forward :102 — conv over flipped row-normalized net)
+        src, dst = dataset.net_edges()
+        deg_s = np.bincount(src, minlength=self.n_users).astype(np.float64)
+        s = np.zeros((self.n_users, self.n_users), dtype=np.float32)
+        np.add.at(s, (src, dst),
+                  (1.0 / np.maximum(deg_s[src], 1.0)).astype(np.float32))
+        self.consts["net"] = jnp.asarray(s)
+
+    def init_params(self, rng):
+        ku, ki = jax.random.split(rng)
+        return {
+            "user_emb": xavier_uniform(ku, (self.n_users, self.embedding_size)),
+            "item_emb": xavier_uniform(ki, (self.n_items, self.embedding_size)),
+        }
+
+    def propagate(self, params, consts, extras):
+        u = params["user_emb"]
+        items = params["item_emb"]
+        from_items = matvec_any(consts["ui"], items)
+        layers = [u]
+        for _ in range(self.n_layers):
+            u = matvec_any(consts["net"], u)
+            layers.append(u)
+        final_u = sum(layers) + from_items
+        return final_u, items
+
+    def calculate_loss(self, params, consts, extras, batch, rng, mode=0):
+        user, pos, neg = batch["user_id"], batch["item_id"], batch["neg_item_id"]
+        w = batch.get("weight")
+        u_all, i_all = self.propagate(params, consts, extras)
+        u_e, p_e, n_e = u_all[user], i_all[pos], i_all[neg]
+        mf = bpr_loss(jnp.sum(u_e * p_e, -1), jnp.sum(u_e * n_e, -1), w)
+        reg = emb_loss([params["user_emb"][user], params["item_emb"][pos],
+                        params["item_emb"][neg]], user.shape[0], weight=w)
+        return mf + self.reg_weight * reg, {"mf": mf, "reg": reg}

@@ -236,3 +236,11 @@ def spmm_dense_bipartite_dropout(graph: BipartiteDenseGraph, x: jax.Array,
     out_u = jnp.dot(a1, xi, preferred_element_type=jnp.float32)
     out_i = jnp.dot(a2.T, xu, preferred_element_type=jnp.float32)
     return jnp.concatenate([out_u, out_i], axis=0)
+
+
+def matvec_any(m, x: jax.Array) -> jax.Array:
+    """Matrix-vector(-batch) product over either representation:
+    a dense jnp matrix (MXU) or a sparse Graph (segment-sum)."""
+    if isinstance(m, Graph):
+        return spmm(m, x)
+    return jnp.dot(m, x, preferred_element_type=jnp.float32)
