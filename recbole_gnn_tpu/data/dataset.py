@@ -342,7 +342,8 @@ class GeneralGraphDataset(Dataset):
             half = len(users)
             return build_dense_bipartite(
                 users, items, w[:half], self.n_users, self.n_items)
-        return build_graph(src, dst, w, n)
+        with_pallas = self.config["use_pallas_spmm"] is not False
+        return build_graph(src, dst, w, n, with_pallas=with_pallas)
 
     def get_bipartite_graph(self, row: str = "user",
                             row_norm: bool = True) -> Graph:

@@ -60,10 +60,13 @@ class Graph:
     rev_edge_id: jax.Array | None
     n_nodes: int
     n_src_nodes: int
+    block_ptr: jax.Array | None = None      # Pallas kernel CSR-block ptr
+    rev_block_ptr: jax.Array | None = None  # ... for the transpose pass
 
     def tree_flatten(self):
         return ((self.src, self.dst, self.weight, self.rev_src,
-                 self.rev_dst, self.rev_edge_id),
+                 self.rev_dst, self.rev_edge_id, self.block_ptr,
+                 self.rev_block_ptr),
                 (self.n_nodes, self.n_src_nodes))
 
     @classmethod
@@ -93,12 +96,24 @@ class Graph:
 
 def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
                 n_nodes: int, n_src_nodes: int | None = None,
-                sort: bool = True, with_reverse: bool = True) -> Graph:
+                sort: bool = True, with_reverse: bool = True,
+                with_pallas: bool = False) -> Graph:
     """Host-side constructor: sorts edges by dst; precomputes the
-    transposed ordering for the custom-VJP backward."""
+    transposed ordering for the custom-VJP backward.  With
+    ``with_pallas`` the edge list is padded to the kernel chunk size
+    and block pointers are attached for ops.pallas_spmm."""
     src = np.asarray(src, dtype=np.int32)
     dst = np.asarray(dst, dtype=np.int32)
     weight = np.asarray(weight, dtype=np.float32)
+    if n_src_nodes is None:
+        n_src_nodes = n_nodes
+    block_ptr = rev_block_ptr = None
+    if with_pallas:
+        from recbole_gnn_tpu.ops.pallas_spmm import (
+            build_block_ptr, prepare_pallas_graph)
+        src, dst, weight, block_ptr = prepare_pallas_graph(
+            src, dst, weight, n_nodes)
+        sort = False  # already dst-sorted + padded
     if sort:
         order = np.argsort(dst, kind="stable")
         src, dst, weight = src[order], dst[order], weight[order]
@@ -108,12 +123,14 @@ def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
         rev_src = dst[rev_order]
         rev_dst = src[rev_order]
         rev_eid = rev_order
-    if n_src_nodes is None:
-        n_src_nodes = n_nodes
+        if with_pallas:
+            from recbole_gnn_tpu.ops.pallas_spmm import build_block_ptr
+            rev_block_ptr = build_block_ptr(rev_dst, n_src_nodes)
     as_j = lambda a: None if a is None else jnp.asarray(a)
     return Graph(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(weight),
                  as_j(rev_src), as_j(rev_dst), as_j(rev_eid),
-                 int(n_nodes), int(n_src_nodes))
+                 int(n_nodes), int(n_src_nodes),
+                 as_j(block_ptr), as_j(rev_block_ptr))
 
 
 def spmm_coo(src: jax.Array, dst: jax.Array, weight: jax.Array,
@@ -136,9 +153,16 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
     src, dst = graph.src, graph.dst
     rsrc, rdst, reid = graph.rev_src, graph.rev_dst, graph.rev_edge_id
     n_out, n_in = graph.n_nodes, graph.n_src_nodes
+    bp, rbp = graph.block_ptr, graph.rev_block_ptr
+    use_pallas = bp is not None and _pallas_available()
 
     @jax.custom_vjp
     def _f(w, x_):
+        if use_pallas:
+            from recbole_gnn_tpu.ops.pallas_spmm import _pallas_segment_sum
+            msgs = x_[src] * w[:, None].astype(x_.dtype)
+            return _pallas_segment_sum(
+                msgs.astype(jnp.float32), dst, bp, n_out)
         return spmm_coo(src, dst, w, x_, n_out)
 
     def _fwd(w, x_):
@@ -148,15 +172,27 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
         w, x_ = res
         # dL/dx[s] = Σ_{e: src[e]=s} w[e]·g[dst[e]] — transpose SpMM
         rw = w[reid]
-        gx = jax.ops.segment_sum(
-            g[rsrc] * rw[:, None].astype(g.dtype), rdst,
-            num_segments=n_in, indices_are_sorted=True)
+        rmsgs = g[rsrc] * rw[:, None].astype(g.dtype)
+        if use_pallas and rbp is not None:
+            from recbole_gnn_tpu.ops.pallas_spmm import _pallas_segment_sum
+            gx = _pallas_segment_sum(
+                rmsgs.astype(jnp.float32), rdst, rbp, n_in)
+        else:
+            gx = jax.ops.segment_sum(
+                rmsgs, rdst, num_segments=n_in, indices_are_sorted=True)
         # dL/dw[e] = x[src[e]] · g[dst[e]]
         gw = jnp.sum(x_[src] * g[dst], axis=-1)
         return gw, gx
 
     _f.defvjp(_fwd, _bwd)
     return _f(graph.weight, x)
+
+
+def _pallas_available() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 @jax.tree_util.register_pytree_node_class

@@ -206,3 +206,43 @@ def spmm_coo_ref(src, dst, w, x, n):
     order = np.argsort(dst, kind="stable")
     return spmm_coo(jnp.asarray(src[order]), jnp.asarray(dst[order]),
                     jnp.asarray(w[order]), x, n)
+
+
+def test_pallas_spmm_interpret_matches_xla():
+    """Pallas block-CSR segment kernel vs XLA reference (interpret mode
+    on CPU; the same kernel compiles on TPU)."""
+    from recbole_gnn_tpu.ops.pallas_spmm import (
+        _pallas_segment_sum, prepare_pallas_graph)
+    rng = np.random.default_rng(11)
+    n, e, d = 300, 5000, 64
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.normal(size=e).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    s, d_, w_, bp = prepare_pallas_graph(src, dst, w, n)
+    msgs = x[jnp.asarray(s)] * jnp.asarray(w_)[:, None]
+    out = _pallas_segment_sum(msgs, jnp.asarray(d_), jnp.asarray(bp), n,
+                              interpret=True)
+    ref = jax.ops.segment_sum(msgs, jnp.asarray(d_), num_segments=n,
+                              indices_are_sorted=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_pallas_graph_vjp_matches_plain_graph():
+    """build_graph(with_pallas=True) must give identical fwd/bwd on the
+    non-TPU fallback path (padding + block ptrs are inert)."""
+    rng = np.random.default_rng(12)
+    n, e = 100, 1000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.normal(size=e).astype(np.float32)
+    g1 = build_graph(src, dst, w, n)
+    g2 = build_graph(src, dst, w, n, with_pallas=True)
+    x = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(spmm(g1, x)),
+                               np.asarray(spmm(g2, x)), rtol=1e-4, atol=1e-4)
+    cot = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+    ga = np.asarray(jax.grad(lambda x_: jnp.sum(spmm(g1, x_) * cot))(x))
+    gb = np.asarray(jax.grad(lambda x_: jnp.sum(spmm(g2, x_) * cot))(x))
+    np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-4)
