@@ -57,7 +57,7 @@ class NGCF(GeneralGraphRecommender):
                     x_prop = spmm_dense_bipartite_dropout(
                         graph, x, k, self.node_dropout)
                 else:
-                    keep = edge_dropout_mask(k, graph.n_edges,
+                    keep = edge_dropout_mask(k, graph.n_edges_padded,
                                              self.node_dropout)
                     x_prop = spmm_any(
                         graph.with_weight(

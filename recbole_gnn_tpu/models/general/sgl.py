@@ -47,13 +47,18 @@ class SGL(GeneralGraphRecommender):
         if not self._is_dense:
             # map each dst-sorted edge back to its interaction row so an
             # interaction keep-mask can be scattered onto edge weights
-            # (mirrors build_graph's stable dst argsort)
+            # (mirrors build_graph's stable dst argsort; pallas pad edges
+            # map to the sentinel row n_inter, which is always dropped)
             import numpy as np
             n_inter = len(users)
             dst_cat = np.concatenate([items + self.n_users, users])
             order = np.argsort(dst_cat, kind="stable")
-            self.consts["edge_inter_id"] = jnp.asarray(
-                (order % n_inter).astype(np.int32))
+            ids = (order % n_inter).astype(np.int32)
+            n_pad = self.consts["graph"].n_edges_padded - len(ids)
+            if n_pad > 0:
+                ids = np.concatenate(
+                    [ids, np.full(n_pad, n_inter, np.int32)])
+            self.consts["edge_inter_id"] = jnp.asarray(ids)
         self._aug_builder = None
 
     # -- augmentation ----------------------------------------------------
@@ -88,8 +93,11 @@ class SGL(GeneralGraphRecommender):
             else:
                 g = self.consts["graph"]
                 # both directions of a kept interaction survive; map the
-                # interaction keep-mask onto dst-sorted edge order
-                mask_e = keep[self.consts["edge_inter_id"]]
+                # interaction keep-mask onto dst-sorted edge order (the
+                # sentinel row keeps pallas pad edges dead)
+                keep_ext = jnp.concatenate(
+                    [keep, jnp.zeros((1,), keep.dtype)])
+                mask_e = keep_ext[self.consts["edge_inter_id"]]
                 outs.append(sym_norm_weights(g.src, g.dst, g.n_nodes,
                                              mask=mask_e))
         if n_rep == 1:

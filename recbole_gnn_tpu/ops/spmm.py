@@ -62,19 +62,27 @@ class Graph:
     n_src_nodes: int
     block_ptr: jax.Array | None = None      # Pallas kernel CSR-block ptr
     rev_block_ptr: jax.Array | None = None  # ... for the transpose pass
+    nnz: int | None = None                  # real edges (excl. pallas pad)
 
     def tree_flatten(self):
         return ((self.src, self.dst, self.weight, self.rev_src,
                  self.rev_dst, self.rev_edge_id, self.block_ptr,
                  self.rev_block_ptr),
-                (self.n_nodes, self.n_src_nodes))
+                (self.n_nodes, self.n_src_nodes, self.nnz))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0], aux[1])
+        src, dst, weight, rs, rd, re, bp, rbp = children
+        return cls(src, dst, weight, rs, rd, re, aux[0], aux[1],
+                   bp, rbp, aux[2])
 
     @property
     def n_edges(self) -> int:
+        """Real (unpadded) edge count."""
+        return self.nnz if self.nnz is not None else self.src.shape[0]
+
+    @property
+    def n_edges_padded(self) -> int:
         return self.src.shape[0]
 
     def reverse(self) -> "Graph":
@@ -88,7 +96,9 @@ class Graph:
             # transpose-of-transpose backward list is this graph's own
             # dst-sorted edge list; edge k there is rev edge inv[k]
             rev_src=self.src, rev_dst=self.dst, rev_edge_id=inv,
-            n_nodes=self.n_src_nodes, n_src_nodes=self.n_nodes)
+            n_nodes=self.n_src_nodes, n_src_nodes=self.n_nodes,
+            block_ptr=self.rev_block_ptr, rev_block_ptr=self.block_ptr,
+            nnz=self.nnz)
 
     def with_weight(self, weight: jax.Array) -> "Graph":
         return replace(self, weight=weight)
@@ -108,6 +118,7 @@ def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     if n_src_nodes is None:
         n_src_nodes = n_nodes
     block_ptr = rev_block_ptr = None
+    nnz = len(src)
     if with_pallas:
         from recbole_gnn_tpu.ops.pallas_spmm import (
             build_block_ptr, prepare_pallas_graph)
@@ -130,7 +141,7 @@ def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     return Graph(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(weight),
                  as_j(rev_src), as_j(rev_dst), as_j(rev_eid),
                  int(n_nodes), int(n_src_nodes),
-                 as_j(block_ptr), as_j(rev_block_ptr))
+                 as_j(block_ptr), as_j(rev_block_ptr), int(nnz))
 
 
 def spmm_coo(src: jax.Array, dst: jax.Array, weight: jax.Array,

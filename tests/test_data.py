@@ -83,13 +83,15 @@ def test_norm_adj_symmetric_weights():
     g = ds.get_norm_adj_graph(force_sparse=True)
     n = ds.n_users + ds.n_items
     assert g.n_nodes == n
-    assert g.n_edges == 2 * ds.inter_num
+    assert g.n_edges == 2 * ds.inter_num   # real edges (nnz)
     # dst-sorted
     dst = np.asarray(g.dst)
     assert (np.diff(dst) >= 0).all()
-    # row sums of D^-1/2 A D^-1/2 == deg^-1/2 * sum(deg_j^-1/2) bounded by 1
+    # real edges carry positive normalized weights; pallas pad edges
+    # (appended at the end) are zero-weight
     w = np.asarray(g.weight)
-    assert (w > 0).all()
+    assert (w[:g.n_edges] > 0).all()
+    assert (w[g.n_edges:] == 0).all()
 
 
 def test_norm_adj_dense_matches_sparse():
@@ -98,7 +100,7 @@ def test_norm_adj_dense_matches_sparse():
     gd = ds.get_norm_adj_graph()
     from recbole_gnn_tpu.ops.spmm import BipartiteDenseGraph, spmm_any
     assert isinstance(gd, BipartiteDenseGraph)
-    assert gd.n_edges == gs.n_edges
+    assert gd.n_edges == gs.n_edges == 2 * ds.inter_num
     import jax.numpy as jnp
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(gs.n_nodes, 8)), jnp.float32)
