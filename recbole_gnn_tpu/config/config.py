@@ -33,13 +33,26 @@ def _load_yaml(path: str) -> dict:
 
 
 def _coerce(value):
-    """Parse a string value as yaml (numbers, lists, dicts, null…)."""
+    """Parse a string value as yaml (numbers, lists, dicts, null…).
+
+    YAML 1.1 leaves '1e-05'-style floats as strings (no dot before the
+    exponent); a numeric fallback catches those."""
     if not isinstance(value, str):
         return value
     try:
-        return yaml.safe_load(value)
+        value = yaml.safe_load(value)
     except yaml.YAMLError:
         return value
+    if isinstance(value, str):
+        try:
+            return int(value)
+        except ValueError:
+            pass
+        try:
+            return float(value)
+        except ValueError:
+            pass
+    return value
 
 
 class Config:

@@ -23,11 +23,47 @@ from recbole_gnn_tpu.utils.logging import init_logger, get_logger
 from recbole_gnn_tpu.utils.seed import init_seed
 
 
+_DATASET_CACHE_KEYS = (
+    "dataset", "data_path", "load_col", "val_interval",
+    "user_inter_num_interval", "item_inter_num_interval", "seed",
+    "repeatable", "MAX_ITEM_LIST_LENGTH", "filter_net_by_inter",
+    "undirected_net",
+)
+
+
 def create_dataset(config):
     """Resolve + build the dataset for config['model'] (precedence
-    mirrors reference utils.py:30-39)."""
+    mirrors reference utils.py:30-39).
+
+    Tier-2 cache (reference utils.py:41-54): with ``save_dataset`` the
+    processed dataset pickles to
+    {checkpoint_dir}/{dataset}-{Class}.pth and reloads only when every
+    cache-relevant config value matches."""
+    import os
+    import pickle
+
     cls = get_dataset_class(config["model"])
-    return cls(config)
+    path = os.path.join(config["checkpoint_dir"] or "saved/",
+                        f"{config['dataset']}-{cls.__name__}.pth")
+    want_key = {k: config[k] for k in _DATASET_CACHE_KEYS}
+    if config["save_dataset"] and os.path.isfile(path):
+        try:
+            with open(path, "rb") as f:
+                blob = pickle.load(f)
+            if blob.get("key") == want_key:
+                ds = blob["dataset"]
+                ds.config = config
+                return ds
+        except Exception:
+            pass
+    ds = cls(config)
+    if config["save_dataset"]:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        cfg_ref, ds.config = ds.config, None  # configs aren't picklable-stable
+        with open(path, "wb") as f:
+            pickle.dump({"key": want_key, "dataset": ds}, f)
+        ds.config = cfg_ref
+    return ds
 
 
 def _parse_eval_mode(config) -> tuple[str, int]:

@@ -222,3 +222,16 @@ def test_sampler_deterministic():
     a = s.sample(users, 2, np.random.default_rng(42))
     b = s.sample(users, 2, np.random.default_rng(42))
     np.testing.assert_array_equal(a, b)
+
+
+def test_dataset_cache_roundtrip(tmp_path):
+    cfg = make_config(save_dataset=True, checkpoint_dir=str(tmp_path))
+    from recbole_gnn_tpu.quick_start import create_dataset
+    a = create_dataset(cfg)
+    b = create_dataset(cfg)   # second call loads the pickle
+    np.testing.assert_array_equal(a.inter[a.uid_field], b.inter[b.uid_field])
+    # changed filter config invalidates the cache
+    cfg2 = make_config(save_dataset=True, checkpoint_dir=str(tmp_path),
+                       val_interval={"rating": "[3,inf)"})
+    c = create_dataset(cfg2)
+    assert c.inter_num < a.inter_num

@@ -1,0 +1,77 @@
+"""Golden-value metric tests + evaluator semantics — hand-computed
+expectations (the reference has no metric unit tests, SURVEY.md §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from recbole_gnn_tpu.eval.metrics import topk_metrics
+
+
+def test_metrics_hand_computed():
+    # user 0: positives {3, 7}, topk = [3, 9, 7, 2, 5]
+    # user 1: positives {4},    topk = [1, 2, 6, 8, 4]
+    topk = jnp.asarray([[3, 9, 7, 2, 5], [1, 2, 6, 8, 4]])
+    pos = jnp.asarray([[3, 7, 0], [4, 0, 0]])
+    pos_len = jnp.asarray([2, 1])
+    m = {k: np.asarray(v) for k, v in
+         topk_metrics(topk, pos, pos_len, (5,)).items()}
+
+    # user 0: hits at ranks 1 and 3 → recall 2/2, hit 1, precision 2/5
+    #   mrr 1/1; dcg = 1/log2(2) + 1/log2(4) = 1 + 0.5; idcg = 1 + 1/log2(3)
+    dcg0 = 1.0 + 1.0 / np.log2(4)
+    idcg0 = 1.0 + 1.0 / np.log2(3)
+    # user 1: hit at rank 5 → recall 1, mrr 1/5, precision 1/5,
+    #   ndcg = (1/log2(6)) / 1
+    np.testing.assert_allclose(m["recall@5"], [1.0, 1.0], rtol=1e-6)
+    np.testing.assert_allclose(m["hit@5"], [1.0, 1.0])
+    np.testing.assert_allclose(m["precision@5"], [0.4, 0.2], rtol=1e-6)
+    np.testing.assert_allclose(m["mrr@5"], [1.0, 0.2], rtol=1e-6)
+    np.testing.assert_allclose(
+        m["ndcg@5"], [dcg0 / idcg0, 1.0 / np.log2(6)], rtol=1e-6)
+
+
+def test_metrics_no_hits():
+    topk = jnp.asarray([[1, 2], [3, 4]])
+    pos = jnp.asarray([[9], [8]])
+    pos_len = jnp.asarray([1, 1])
+    m = topk_metrics(topk, pos, pos_len, (2,))
+    for v in m.values():
+        np.testing.assert_allclose(np.asarray(v), 0.0)
+
+
+def test_metrics_multiple_ks():
+    topk = jnp.asarray([[5, 1, 7]])
+    pos = jnp.asarray([[7]])
+    pos_len = jnp.asarray([1])
+    m = {k: float(np.asarray(v)[0]) for k, v in
+         topk_metrics(topk, pos, pos_len, (1, 3)).items()}
+    assert m["recall@1"] == 0.0 and m["recall@3"] == 1.0
+    np.testing.assert_allclose(m["mrr@3"], 1.0 / 3.0, rtol=1e-6)
+
+
+def test_full_evaluation_counts_only_real_rows():
+    """Padded eval rows (weight 0) must not shift averages."""
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.eval.evaluator import Evaluator
+    import jax
+    from conftest import base_config_dict
+
+    # eval_batch_size NOT dividing the user count forces padding
+    cfg = Config(config_dict=base_config_dict(
+        model="BPR", eval_batch_size=37))
+    ds = create_dataset(cfg)
+    (_, tr_ds), (vloader, _), _ = data_preparation(cfg, ds)
+    model = get_model("BPR")(cfg, tr_ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ev = Evaluator(cfg, model)
+    r1 = ev.evaluate(params, {}, vloader)
+
+    cfg2 = Config(config_dict=base_config_dict(
+        model="BPR", eval_batch_size=512))
+    (_, _), (vloader2, _), _ = data_preparation(cfg2, ds)
+    ev2 = Evaluator(cfg2, model)
+    r2 = ev2.evaluate(params, {}, vloader2)
+    for k in r1:
+        np.testing.assert_allclose(r1[k], r2[k], rtol=1e-5, atol=1e-7)

@@ -1,0 +1,112 @@
+"""Trainer-level tests: checkpoint round-trip, resume, early stopping,
+hyper-tuning grid, config cascade."""
+
+import numpy as np
+import pytest
+
+from conftest import base_config_dict
+
+from recbole_gnn_tpu.config import Config
+from recbole_gnn_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    state = {
+        "params": {"a": jnp.arange(6).reshape(2, 3).astype(jnp.float32),
+                   "nested": {"b": jnp.ones((4,))}},
+        "opt_state": {"m": {"a": jnp.zeros((2, 3))}, "t": jnp.int32(7)},
+        "extras": {"list": [jnp.ones((2,)), jnp.zeros((3,))],
+                   "tuple": (jnp.ones((1,)),)},
+        "epoch": np.int64(5),
+    }
+    path = str(tmp_path / "ck.pth")
+    save_checkpoint(path, state)
+    loaded = load_checkpoint(path)
+    np.testing.assert_array_equal(loaded["params"]["a"],
+                                  np.arange(6).reshape(2, 3))
+    np.testing.assert_array_equal(loaded["params"]["nested"]["b"], np.ones(4))
+    assert int(loaded["opt_state"]["t"]) == 7
+    assert isinstance(loaded["extras"]["list"], list)
+    assert isinstance(loaded["extras"]["tuple"], tuple)
+    assert int(loaded["epoch"]) == 5
+
+
+def test_fit_saves_and_restores_best(tmp_path):
+    from recbole_gnn_tpu.quick_start import run_recbole_gnn_tpu
+    res = run_recbole_gnn_tpu(
+        model="BPR", dataset="test",
+        config_dict=base_config_dict(
+            model="BPR", epochs=2, checkpoint_dir=str(tmp_path)),
+        saved=True, verbose=False)
+    assert (tmp_path / "BPR-test.ckpt").exists()
+    assert res["test_result"]["recall@10"] >= 0.0
+
+
+def test_resume_from_checkpoint(tmp_path):
+    import jax
+    from recbole_gnn_tpu.quick_start import (
+        create_dataset, data_preparation)
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.train.trainer import Trainer
+
+    cfg = Config(config_dict=base_config_dict(
+        model="BPR", epochs=1, checkpoint_dir=str(tmp_path)))
+    ds = create_dataset(cfg)
+    (tl, tr_ds), (vl, _), _ = data_preparation(cfg, ds)
+    model = get_model("BPR")(cfg, tr_ds)
+    trainer = Trainer(cfg, model)
+    trainer.fit(tl, vl, saved=True, verbose=False)
+    t2 = Trainer(cfg, model)
+    epoch = t2.resume_from_checkpoint()
+    assert epoch >= 0
+    np.testing.assert_array_equal(
+        np.asarray(t2.params["user_emb"]),
+        np.asarray(trainer.params["user_emb"]))
+
+
+def test_hyper_tuning_grid(tmp_path):
+    from recbole_gnn_tpu.hyper import HyperTuning
+
+    space = {"embedding_size": [8, 16]}
+    hp = HyperTuning(space=space,
+                     fixed_config_dict=base_config_dict(model="BPR"))
+    best_params, best_result = hp.run()
+    assert best_params["embedding_size"] in (8, 16)
+    assert len(hp.params2result) == 2
+    out = tmp_path / "hyper.txt"
+    hp.export_result(str(out))
+    assert out.read_text().count("Test result") == 2
+
+
+def test_config_cascade_precedence(tmp_path):
+    # model yaml < user file < config dict
+    f = tmp_path / "user.yaml"
+    f.write_text("embedding_size: 32\nn_layers: 5\n")
+    cfg = Config(model="LightGCN", dataset="test",
+                 config_file_list=[str(f)],
+                 config_dict={"n_layers": 7})
+    assert cfg["embedding_size"] == 32      # file overrides model yaml (64)
+    assert cfg["n_layers"] == 7             # dict overrides file
+    assert cfg["reg_weight"] == 1e-05       # model yaml survives
+
+
+def test_config_sequential_base_applied():
+    cfg = Config(model="SRGNN", dataset="test")
+    assert cfg["train_neg_sample_args"] is None
+    assert cfg["eval_args"]["split"] == {"LS": "valid_and_test"}
+    assert cfg["eval_args"]["order"] == "TO"
+
+
+def test_config_cli_parsing():
+    from recbole_gnn_tpu.config.config import parse_cli
+    out = parse_cli(["--learning_rate=1e-4", "--topk=[5,10]",
+                     "--enable_sparse=True"])
+    assert out["learning_rate"] == 1e-4
+    assert out["topk"] == [5, 10]
+    assert out["enable_sparse"] is True
+
+
+def test_unknown_model_raises():
+    with pytest.raises(ValueError, match="unknown model"):
+        Config(model="NotAModel", dataset="test")
