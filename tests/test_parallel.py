@@ -1,0 +1,85 @@
+"""Mesh-sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §4:
+multi-host logic must be CI-testable without a pod)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.sharding import PartitionSpec as P
+
+from recbole_gnn_tpu.parallel.mesh import make_mesh, embedding_sharding
+from recbole_gnn_tpu.parallel.sharded_train import (
+    make_sharded_train_step, place_batch, place_state, shard_params_spec)
+from recbole_gnn_tpu.parallel.topk import distributed_full_sort_topk
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    mesh1 = make_mesh(None)
+    assert mesh1.shape["dp"] == len(jax.devices())
+
+
+def test_distributed_topk_matches_single_device():
+    mesh = make_mesh({"tp": 8})
+    rng = np.random.default_rng(0)
+    B, N, D, K = 16, 64, 8, 5
+    u = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    it = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    hist = jnp.zeros((B, N), bool).at[0, :10].set(True)
+    v, idx = distributed_full_sort_topk(u, it, hist, K, mesh, axis="tp")
+    scores = np.asarray(u) @ np.asarray(it).T
+    scores[np.asarray(hist)] = -1e30
+    want = np.argsort(-scores, axis=1)[:, :K]
+    np.testing.assert_array_equal(np.asarray(idx), want)
+
+
+def test_sharded_train_step_matches_single_device():
+    """dp×tp sharded LightGCN step == unsharded step (GSPMD layout must
+    not change the math)."""
+    import __graft_entry__ as g
+    from recbole_gnn_tpu.train.optim import make_optimizer
+
+    model, params, batch = g._tiny_lightgcn()
+    optimizer = make_optimizer("adam", 1e-3)
+    opt_state = optimizer.init(params)
+    rng = jax.random.PRNGKey(2)
+
+    # single device reference
+    def step(params, opt_state, consts, extras, batch, rng):
+        def loss_fn(p):
+            loss, aux = model.calculate_loss(p, consts, extras, batch, rng)
+            return loss, aux
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        new_params, new_opt = optimizer.update(grads, opt_state, params)
+        return new_params, new_opt, loss
+
+    p1, o1, l1 = jax.jit(step)(params, opt_state, model.consts, {},
+                               batch, rng)
+
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    params2, opt2 = place_state(params, optimizer.init(params), mesh)
+    batch2 = place_batch(batch, mesh)
+    sharded = make_sharded_train_step(model, optimizer, mesh)
+    p2, o2, l2 = sharded(params2, opt2, model.consts, {}, batch2, rng)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1["user_emb"]),
+                               np.asarray(p2["user_emb"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_shard_params_spec_targets_tables():
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    params = {"user_emb": jnp.ones((16, 4)), "item_emb": jnp.ones((24, 4)),
+              "mlp": {"w": jnp.ones((4, 4))}}
+    spec = shard_params_spec(params, mesh)
+    assert spec["user_emb"].spec == P("tp", None)
+    assert spec["item_emb"].spec == P("tp", None)
+    assert spec["mlp"]["w"].spec == P()
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
