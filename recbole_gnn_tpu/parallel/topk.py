@@ -58,5 +58,5 @@ def distributed_full_sort_topk(user_emb: jax.Array, item_emb: jax.Array,
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(axis, None), P(None, axis)),
-        out_specs=(P(), P()))
+        out_specs=(P(), P()), check_vma=False)
     return fn(user_emb, item_emb, history_mask)
