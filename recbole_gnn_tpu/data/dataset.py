@@ -111,10 +111,17 @@ class Dataset:
 
     def _filter_by_inter_num(self):
         """Iterative k-core: drop users/items outside their count interval
-        until a fixed point, mirroring [recbole] `_filter_by_inter_num`."""
+        until a fixed point, mirroring [recbole] `_filter_by_inter_num`.
+
+        Uses the native C++ fixed-point filter when available (integer
+        bounds only); numpy isin loop otherwise."""
         u_spec = self.config["user_inter_num_interval"]
         i_spec = self.config["item_inter_num_interval"]
         if not u_spec and not i_spec:
+            return
+        keep = self._kcore_native(u_spec, i_spec)
+        if keep is not None:
+            self._apply_inter_mask(keep)
             return
         while True:
             users = self.inter[self.uid_field]
@@ -122,15 +129,48 @@ class Dataset:
             keep = np.ones(len(users), dtype=bool)
             if u_spec:
                 uniq, cnt = np.unique(users, return_counts=True)
-                ok = set(uniq[_in_interval(cnt.astype(np.float64), u_spec)])
-                keep &= np.fromiter((u in ok for u in users), bool, len(users))
+                ok = uniq[_in_interval(cnt.astype(np.float64), u_spec)]
+                keep &= np.isin(users, ok)
             if i_spec:
                 uniq, cnt = np.unique(items, return_counts=True)
-                ok = set(uniq[_in_interval(cnt.astype(np.float64), i_spec)])
-                keep &= np.fromiter((it in ok for it in items), bool, len(items))
+                ok = uniq[_in_interval(cnt.astype(np.float64), i_spec)]
+                keep &= np.isin(items, ok)
             if keep.all():
                 break
             self._apply_inter_mask(keep)
+
+    def _kcore_native(self, u_spec, i_spec):
+        """C++ path for closed/semi-open integer count intervals."""
+        def bounds(spec):
+            if not spec:
+                return 0, np.iinfo(np.int64).max
+            lo, hi, lo_inc, hi_inc = parse_interval(spec)
+            lo_i = int(np.ceil(lo)) if np.isfinite(lo) else 0
+            if np.isfinite(lo) and not lo_inc and lo_i == lo:
+                lo_i += 1
+            hi_i = int(np.floor(hi)) if np.isfinite(hi) else np.iinfo(np.int64).max
+            if np.isfinite(hi) and not hi_inc and hi_i == hi:
+                hi_i -= 1
+            return lo_i, hi_i
+
+        try:
+            from recbole_gnn_tpu.native import kcore_filter_native
+            # pre-remap tokens are strings: factorize to ints first
+            users_t = self.inter[self.uid_field]
+            items_t = self.inter[self.iid_field]
+            if len(users_t) == 0:
+                return None
+            users, _ = pd.factorize(users_t)
+            items, _ = pd.factorize(items_t)
+            users = users.astype(np.int64)
+            items = items.astype(np.int64)
+        except Exception:
+            return None
+        u_lo, u_hi = bounds(u_spec)
+        i_lo, i_hi = bounds(i_spec)
+        return kcore_filter_native(
+            users, items, int(users.max()) + 1, int(items.max()) + 1,
+            u_lo, u_hi, i_lo, i_hi)
 
     def _apply_inter_mask(self, keep: np.ndarray):
         self.inter = {k: v[keep] for k, v in self.inter.items()}

@@ -169,9 +169,14 @@ class SessionGraphDataset(SequentialDataset):
         seqs = self.inter[self.item_list_field]
         lengths = self.inter[self.item_length_field]
         L = self.max_seq_len
-        x, n_nodes = _unique_per_row(seqs)
-        alias = _alias_per_row(x, n_nodes, seqs, lengths)
-        src, dst, n_edges = self._consecutive_edges(alias, lengths, L)
+        from recbole_gnn_tpu.native import build_session_graphs_native
+        native = build_session_graphs_native(seqs, lengths)
+        if native is not None:
+            x, n_nodes, alias, src, dst, n_edges = native
+        else:
+            x, n_nodes = _unique_per_row(seqs)
+            alias = _alias_per_row(x, n_nodes, seqs, lengths)
+            src, dst, n_edges = self._consecutive_edges(alias, lengths, L)
         self.session_graphs = {
             "x": x, "n_nodes": n_nodes, "alias_inputs": alias,
             "edge_src": src, "edge_dst": dst, "n_edges": n_edges,

@@ -235,3 +235,55 @@ def test_dataset_cache_roundtrip(tmp_path):
                        val_interval={"rating": "[3,inf)"})
     c = create_dataset(cfg2)
     assert c.inter_num < a.inter_num
+
+
+def test_native_session_graphs_match_numpy():
+    from recbole_gnn_tpu.native import (
+        build_session_graphs_native, native_available)
+    if not native_available():
+        pytest.skip("no native toolchain")
+    from recbole_gnn_tpu.data.session import (
+        _alias_per_row, _unique_per_row)
+    from recbole_gnn_tpu.data.session import SessionGraphDataset
+    rng = np.random.default_rng(3)
+    N, L = 500, 20
+    lengths = rng.integers(1, L + 1, N).astype(np.int32)
+    seqs = np.where(np.arange(L)[None, :] < lengths[:, None],
+                    rng.integers(1, 50, (N, L)), 0).astype(np.int32)
+    nx, nn, na, ns, nd, ne = build_session_graphs_native(seqs, lengths)
+    x, n_nodes = _unique_per_row(seqs)
+    alias = _alias_per_row(x, n_nodes, seqs, lengths)
+    src, dst, n_edges = SessionGraphDataset._consecutive_edges(
+        alias, lengths, L)
+    np.testing.assert_array_equal(nx, x)
+    np.testing.assert_array_equal(nn, n_nodes)
+    np.testing.assert_array_equal(na, alias)
+    np.testing.assert_array_equal(ne, n_edges)
+    np.testing.assert_array_equal(ns, src)
+    np.testing.assert_array_equal(nd, dst)
+
+
+def test_native_kcore_matches_numpy():
+    from recbole_gnn_tpu.native import kcore_filter_native, native_available
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(4)
+    users = rng.integers(0, 40, 2000)
+    items = rng.integers(0, 100, 2000)
+    keep = kcore_filter_native(users, items, 40, 100, 5, 10**9, 5, 10**9)
+    # fixed point: all surviving users/items have >=5 interactions
+    u, c = np.unique(users[keep], return_counts=True)
+    i, ci = np.unique(items[keep], return_counts=True)
+    assert (c >= 5).all() and (ci >= 5).all()
+    # numpy reference loop produces the same mask
+    ref = np.ones(2000, bool)
+    while True:
+        uu, cc = np.unique(users[ref], return_counts=True)
+        ok_u = uu[cc >= 5]
+        ii, cci = np.unique(items[ref], return_counts=True)
+        ok_i = ii[cci >= 5]
+        new = ref & np.isin(users, ok_u) & np.isin(items, ok_i)
+        if (new == ref).all():
+            break
+        ref = new
+    np.testing.assert_array_equal(keep, ref)
