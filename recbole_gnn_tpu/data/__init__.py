@@ -3,6 +3,7 @@ from recbole_gnn_tpu.data.dataset import (
     GeneralGraphDataset,
     SequentialDataset,
     SessionGraphDataset,
+    MultiBehaviorDataset,
     SocialDataset,
 )
 from recbole_gnn_tpu.data.loader import (
@@ -16,7 +17,7 @@ from recbole_gnn_tpu.data.loader import (
 
 __all__ = [
     "Dataset", "GeneralGraphDataset", "SequentialDataset",
-    "SessionGraphDataset", "SocialDataset",
+    "SessionGraphDataset", "MultiBehaviorDataset", "SocialDataset",
     "TrainLoader", "FullSortEvalLoader", "NegSampleEvalLoader",
     "SequentialTrainLoader", "SequentialFullSortEvalLoader",
     "SequentialNegSampleEvalLoader",

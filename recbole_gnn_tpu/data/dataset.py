@@ -68,6 +68,8 @@ class Dataset:
         self.field2id_token: dict[str, np.ndarray] = {}
         self.field2token_id: dict[str, dict] = {}
         self.inter: dict[str, np.ndarray] = {}
+        self.user_feat: dict[str, np.ndarray] = {}
+        self.item_feat: dict[str, np.ndarray] = {}
         self._load_all()
         if not _defer_processing:
             self._process()
@@ -89,7 +91,19 @@ class Dataset:
         self._load_side_tables(sep, seq_sep, load_col, data_path)
 
     def _load_side_tables(self, sep, seq_sep, load_col, data_path):
-        """Hook for subclasses (e.g. SocialDataset loads the .net file)."""
+        """Load .user/.item feature tables when requested via load_col
+        ([recbole] user_feat/item_feat); subclasses extend (SocialDataset
+        adds the .net file)."""
+        for suffix, attr in (("user", "user_feat"), ("item", "item_feat")):
+            if not load_col.get(suffix):
+                continue
+            path = atomic_path(data_path, self.dataset_name, suffix)
+            if not os.path.isfile(path):
+                raise FileNotFoundError(f"missing atomic file: {path}")
+            table, ftypes = read_atomic_file(
+                path, sep, seq_sep, list(load_col[suffix]))
+            setattr(self, attr, table)
+            self.field2type.update(ftypes)
 
     # -- processing ----------------------------------------------------
 
@@ -188,10 +202,34 @@ class Dataset:
 
     def _alias_groups(self) -> list[list[tuple[str, str]]]:
         """Groups of (table, field) sharing one id space."""
-        return [[("inter", self.uid_field)], [("inter", self.iid_field)]]
+        g_user = [("inter", self.uid_field)]
+        if self.uid_field in self.user_feat:
+            g_user.append(("user_feat", self.uid_field))
+        g_item = [("inter", self.iid_field)]
+        if self.iid_field in self.item_feat:
+            g_item.append(("item_feat", self.iid_field))
+        return [g_user, g_item]
 
     def _table(self, name: str) -> dict[str, np.ndarray]:
         return self.inter if name == "inter" else getattr(self, name)
+
+    def feat_matrix(self, table: str, field: str) -> np.ndarray:
+        """Dense per-id feature array aligned to the remapped id space:
+        row i = feature of user/item id i (zeros where absent)."""
+        feats = getattr(self, table)
+        key_field = self.uid_field if table == "user_feat" else self.iid_field
+        n = self.n_users if table == "user_feat" else self.n_items
+        ids = np.asarray(feats[key_field], dtype=np.int64)
+        vals = feats[field]
+        if vals.dtype == object:          # *_seq columns → 2D float
+            width = max(len(v) for v in vals)
+            dense = np.zeros((n, width), dtype=np.float32)
+            for i, v in zip(ids, vals):
+                dense[i, :len(v)] = v
+        else:
+            dense = np.zeros((n,) + vals.shape[1:], dtype=vals.dtype)
+            dense[ids] = vals
+        return dense
 
     def _remap_group(self, group: list[tuple[str, str]]):
         cols = [np.asarray(self._table(t)[f], dtype=object) for t, f in group]
@@ -417,11 +455,13 @@ class GeneralGraphDataset(Dataset):
 # Sequential / session-graph datasets live in data/session.py; social in
 # data/social.py.  Import here for the registry's convenience.
 from recbole_gnn_tpu.data.session import (  # noqa: E402
-    SequentialDataset, SessionGraphDataset, LESSRDataset, GCEGNNDataset)
+    SequentialDataset, SessionGraphDataset, LESSRDataset, GCEGNNDataset,
+    MultiBehaviorDataset)
 from recbole_gnn_tpu.data.social import SocialDataset  # noqa: E402
 
 __all__ = [
     "Dataset", "GeneralGraphDataset", "SequentialDataset",
-    "SessionGraphDataset", "LESSRDataset", "GCEGNNDataset", "SocialDataset",
+    "SessionGraphDataset", "LESSRDataset", "GCEGNNDataset",
+    "MultiBehaviorDataset", "SocialDataset",
     "parse_interval",
 ]

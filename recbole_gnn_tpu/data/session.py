@@ -327,3 +327,38 @@ class LESSRDataset(SequentialDataset):
             "is_last": is_last,
         }
         self.max_shortcut_edges = M
+
+
+class MultiBehaviorDataset(SessionGraphDataset):
+    """Session graphs with per-behavior node sets (reference:
+    dataset.py:145-194).  ``x`` stays the joint node array; per-behavior
+    node sets are stored as additional padded arrays keyed
+    ``x__<behavior>`` with counts ``n_nodes__<behavior>``.  With no
+    behavior fields configured every interaction maps to the single
+    behavior 'interaction' (reference's compatibility fallback)."""
+
+    def session_graph_construction(self):
+        super().session_graph_construction()
+        behavior_list_field = self.config["ITEM_BEHAVIOR_LIST_FIELD"]
+        behavior_id_field = self.config["BEHAVIOR_ID_FIELD"]
+        seqs = self.inter[self.item_list_field]
+        lengths = self.inter[self.item_length_field]
+        if behavior_list_field is None or behavior_id_field is None:
+            behaviors = {"interaction": np.zeros_like(seqs)}
+            bseq = np.zeros_like(seqs)
+            names = ["interaction"]
+            ids = [0]
+        else:
+            bseq = self.inter[behavior_list_field]
+            vocab = self.field2id_token.get(behavior_id_field)
+            uniq = np.unique(bseq)
+            names = [str(vocab[b]) if vocab is not None and b < len(vocab)
+                     else str(b) for b in uniq]
+            ids = list(uniq)
+        pos_valid = np.arange(seqs.shape[1])[None, :] < lengths[:, None]
+        for name, bid in zip(names, ids):
+            sel = np.where(pos_valid & (bseq == bid), seqs, 0)
+            bx, bn = _unique_per_row(sel)
+            self.session_graphs[f"x__{name}"] = bx
+            self.session_graphs[f"n_nodes__{name}"] = bn
+        self.behavior_names = names

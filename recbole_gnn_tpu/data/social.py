@@ -27,6 +27,7 @@ class SocialDataset(GeneralGraphDataset):
         super().__init__(config, _defer_processing=_defer_processing)
 
     def _load_side_tables(self, sep, seq_sep, load_col, data_path):
+        super()._load_side_tables(sep, seq_sep, load_col, data_path)
         path = atomic_path(data_path, self.dataset_name, "net")
         if not os.path.isfile(path):
             raise FileNotFoundError(f"social dataset needs a .net file: {path}")
@@ -57,12 +58,11 @@ class SocialDataset(GeneralGraphDataset):
 
     def _alias_groups(self):
         # user ids share one vocabulary across inter + net (reference
-        # `_init_alias`, dataset.py:397-421)
-        return [
-            [("inter", self.uid_field), ("net", self.net_src_field),
-             ("net", self.net_tgt_field)],
-            [("inter", self.iid_field)],
-        ]
+        # `_init_alias`, dataset.py:397-421); side-table fields join too
+        groups = super()._alias_groups()
+        groups[0] = groups[0] + [("net", self.net_src_field),
+                                 ("net", self.net_tgt_field)]
+        return groups
 
     def _table(self, name):
         return self.net if name == "net" else super()._table(name)

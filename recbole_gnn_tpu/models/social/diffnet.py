@@ -26,10 +26,20 @@ class DiffNet(SocialRecommender):
         self.embedding_size = int(config["embedding_size"] or 64)
         self.n_layers = int(config["n_layers"] or 2)
         self.reg_weight = float(config["reg_weight"] or 1e-5)
-        if config["pretrained_review"]:
-            raise NotImplementedError(
-                "pretrained_review requires .user/.item review embedding "
-                "side files (reference diffnet.py:64-81); not wired yet")
+        self.pretrained_review = bool(config["pretrained_review"])
+        if self.pretrained_review:
+            # frozen review embeddings with distribution rescale
+            # (reference diffnet.py:64-81); loaded via .user/.item
+            # float_seq columns user_review_emb / item_review_emb
+            u_rev = dataset.feat_matrix("user_feat", "user_review_emb")
+            i_rev = dataset.feat_matrix("item_feat", "item_review_emb")
+            if u_rev.shape[1] != self.embedding_size:
+                raise ValueError(
+                    "review embedding width must equal embedding_size")
+            self.consts["user_review"] = jnp.asarray(
+                self._convert_distribution(u_rev))
+            self.consts["item_review"] = jnp.asarray(
+                self._convert_distribution(i_rev))
 
         users, items = dataset.user_item_arrays()
         # U←I interest aggregation: A[u, i] = 1/deg(u) (reference
@@ -49,16 +59,41 @@ class DiffNet(SocialRecommender):
                   (1.0 / np.maximum(deg_s[src], 1.0)).astype(np.float32))
         self.consts["net"] = jnp.asarray(s)
 
+    @staticmethod
+    def _convert_distribution(x):
+        """Rescale to mean 0, 0.2·std (reference convertDistribution
+        :83-86)."""
+        std = x.std()
+        return (x - x.mean()) * 0.2 / (std if std > 0 else 1.0)
+
     def init_params(self, rng):
-        ku, ki = jax.random.split(rng)
-        return {
+        ku, ki, kfu, kfi = jax.random.split(rng, 4)
+        params = {
             "user_emb": xavier_uniform(ku, (self.n_users, self.embedding_size)),
             "item_emb": xavier_uniform(ki, (self.n_items, self.embedding_size)),
         }
+        if self.pretrained_review:
+            from recbole_gnn_tpu.models.init import linear_params
+            params["user_fusion"] = linear_params(
+                kfu, self.embedding_size, self.embedding_size)
+            params["item_fusion"] = linear_params(
+                kfi, self.embedding_size, self.embedding_size)
+        return params
 
     def propagate(self, params, consts, extras):
         u = params["user_emb"]
         items = params["item_emb"]
+        if self.pretrained_review:
+            from recbole_gnn_tpu.models.init import linear
+
+            def rescale(x):
+                std = jnp.std(x)
+                return (x - jnp.mean(x)) * 0.2 / jnp.maximum(std, 1e-12)
+
+            u = u + rescale(jax.nn.sigmoid(
+                linear(params["user_fusion"], consts["user_review"])))
+            items = items + rescale(jax.nn.sigmoid(
+                linear(params["item_fusion"], consts["item_review"])))
         from_items = matvec_any(consts["ui"], items)
         layers = [u]
         for _ in range(self.n_layers):

@@ -27,7 +27,7 @@ import numpy as np
 from recbole_gnn_tpu.eval.evaluator import Evaluator
 from recbole_gnn_tpu.train.checkpoint import save_checkpoint, load_checkpoint
 from recbole_gnn_tpu.train.optim import make_optimizer
-from recbole_gnn_tpu.utils.logging import get_logger
+from recbole_gnn_tpu.utils.logging import JsonlSink, get_logger
 
 
 class Trainer:
@@ -55,6 +55,8 @@ class Trainer:
             ckpt_dir, f"{config['model']}-{config['dataset']}.ckpt")
         self._step_fns: dict[int, callable] = {}
         self.train_timings: list[float] = []
+        self.jsonl = JsonlSink(config["metrics_log_path"])
+        self._profile_dir = config["profile_trace_dir"]
 
     # -- jitted step ----------------------------------------------------
 
@@ -103,21 +105,34 @@ class Trainer:
             extras = self.model.epoch_start(epoch, params, consts, extras, ek)
             mode = self._loss_mode(epoch)
             step_fn = self._get_step_fn(mode)
+            if self._profile_dir and epoch == 1:
+                # skip epoch 0 (compilation) and trace one steady epoch
+                jax.profiler.start_trace(self._profile_dir)
             t0 = time.time()
             losses = []
+            n_examples = 0
             for i, batch in enumerate(train_loader):
                 rng = jax.random.fold_in(ek, i)
                 params, opt_state, loss, _aux = step_fn(
                     params, opt_state, consts, extras, batch, rng)
                 losses.append(loss)
+                w = batch.get("weight")
+                n_examples += int(w.sum()) if w is not None else \
+                    len(next(iter(batch.values())))
             total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
             dt = time.time() - t0
+            if self._profile_dir and epoch == 1:
+                jax.profiler.stop_trace()
             self.train_timings.append(dt)
             if not np.isfinite(total):
                 raise ValueError(f"NaN/Inf loss at epoch {epoch}")
+            self.jsonl.write({"event": "train_epoch", "epoch": epoch,
+                              "loss": total, "seconds": dt,
+                              "examples_per_s": n_examples / max(dt, 1e-9)})
             if verbose:
                 self.logger.info(
-                    f"epoch {epoch} : train loss {total:.4f} [{dt:.2f}s]")
+                    f"epoch {epoch} : train loss {total:.4f} [{dt:.2f}s, "
+                    f"{n_examples / max(dt, 1e-9):.0f} ex/s]")
 
             if valid_loader is not None and (epoch + 1) % self.eval_step == 0:
                 result = self.evaluator.evaluate(
@@ -125,6 +140,8 @@ class Trainer:
                     mode=_eval_mode(cfg))
                 score = result.get(self.valid_metric,
                                    next(iter(result.values())))
+                self.jsonl.write({"event": "valid", "epoch": epoch,
+                                  **result})
                 if verbose:
                     self.logger.info(f"epoch {epoch} : valid {result}")
                 improved = (best_score is None or

@@ -287,3 +287,15 @@ def test_native_kcore_matches_numpy():
             break
         ref = new
     np.testing.assert_array_equal(keep, ref)
+
+
+def test_multibehavior_dataset_fallback_single_behavior():
+    from recbole_gnn_tpu.data.session import MultiBehaviorDataset
+    cfg = make_config(model="SRGNN")
+    ds = MultiBehaviorDataset(cfg)
+    tr, _, _ = ds.build()
+    g = tr.session_graphs
+    assert "x__interaction" in g and "n_nodes__interaction" in g
+    # single-behavior fallback: behavior node sets == joint node sets
+    np.testing.assert_array_equal(g["x__interaction"], g["x"])
+    np.testing.assert_array_equal(g["n_nodes__interaction"], g["n_nodes"])

@@ -29,3 +29,42 @@ def test_sept():
 
 def test_sept_past_warmup():
     quick_test({"model": "SEPT", "warm_up_epochs": 0, "epochs": 2})
+
+
+def test_diffnet_pretrained_review(tmp_path):
+    """DiffNet with frozen review embeddings from .user/.item files."""
+    import os
+    import shutil
+    import numpy as np
+    from conftest import TEST_DATA
+
+    d = tmp_path / "test"
+    d.mkdir()
+    for suffix in ("inter", "net"):
+        shutil.copy(os.path.join(TEST_DATA, "test", f"test.{suffix}"),
+                    d / f"test.{suffix}")
+    rng = np.random.default_rng(0)
+    users = sorted({l.split("\t")[0] for i, l in enumerate(
+        open(d / "test.inter")) if i > 0})
+    items = sorted({l.split("\t")[1] for i, l in enumerate(
+        open(d / "test.inter")) if i > 0})
+    dim = 8
+    with open(d / "test.user", "w") as f:
+        f.write("user_id:token\tuser_review_emb:float_seq\n")
+        for u in users:
+            f.write(u + "\t" + " ".join(
+                f"{v:.4f}" for v in rng.normal(size=dim)) + "\n")
+    with open(d / "test.item", "w") as f:
+        f.write("item_id:token\titem_review_emb:float_seq\n")
+        for it in items:
+            f.write(it + "\t" + " ".join(
+                f"{v:.4f}" for v in rng.normal(size=dim)) + "\n")
+
+    quick_test({"model": "DiffNet", "pretrained_review": True,
+                "embedding_size": dim,
+                "data_path": str(tmp_path),
+                "load_col": {
+                    "inter": ["user_id", "item_id", "rating", "timestamp"],
+                    "net": ["source_id", "target_id"],
+                    "user": ["user_id", "user_review_emb"],
+                    "item": ["item_id", "item_review_emb"]}})
