@@ -416,10 +416,15 @@ class GeneralGraphDataset(Dataset):
                      and self.config["enable_sparse"] is not True
                      and self.n_users * self.n_items <= max_entries)
         if use_dense:
+            import jax.numpy as jnp
             from recbole_gnn_tpu.ops.spmm import build_dense_bipartite
             half = len(users)
+            dtype = (jnp.bfloat16
+                     if str(self.config["graph_dtype"]) == "bfloat16"
+                     else jnp.float32)
             return build_dense_bipartite(
-                users, items, w[:half], self.n_users, self.n_items)
+                users, items, w[:half], self.n_users, self.n_items,
+                dtype=dtype)
         with_pallas = self.config["use_pallas_spmm"] is not False
         return build_graph(src, dst, w, n, with_pallas=with_pallas)
 

@@ -75,3 +75,58 @@ def test_full_evaluation_counts_only_real_rows():
     r2 = ev2.evaluate(params, {}, vloader2)
     for k in r1:
         np.testing.assert_allclose(r1[k], r2[k], rtol=1e-5, atol=1e-7)
+
+
+def test_uni100_candidate_ranking_semantics():
+    """uniN eval ranks within pos+sampled-negative candidates; a model
+    scoring the positive highest must get perfect metrics."""
+    import jax
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.eval.evaluator import Evaluator
+    from conftest import base_config_dict
+
+    cfg = Config(config_dict=base_config_dict(
+        model="BPR",
+        eval_args={"split": {"RS": [0.8, 0.1, 0.1]}, "group_by": "user",
+                   "order": "RO", "mode": "uni100"}))
+    ds = create_dataset(cfg)
+    (_, tr_ds), (vloader, v_ds), _ = data_preparation(cfg, ds)
+    model = get_model("BPR")(cfg, tr_ds)
+
+    # oracle params: score(u, i) = 1 iff i is one of u's valid positives
+    import numpy as np
+    import jax.numpy as jnp
+    hist = v_ds.history_matrix()
+    n_u, n_i = ds.n_users, ds.n_items
+    d = n_i
+    item_emb = np.eye(n_i, dtype=np.float32)
+    user_emb = np.zeros((n_u, n_i), dtype=np.float32)
+    for u, its in hist.items():
+        user_emb[u, its] = 1.0
+    params = {"user_emb": jnp.asarray(user_emb),
+              "item_emb": jnp.asarray(item_emb)}
+    ev = Evaluator(cfg, model)
+    res = ev.evaluate(params, {}, vloader, mode="candidates")
+    assert res["recall@10"] > 0.999
+    assert res["mrr@10"] > 0.999
+
+
+def test_train_loader_deterministic_per_seed():
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    from conftest import base_config_dict
+    import numpy as np
+
+    cfg = Config(config_dict=base_config_dict(model="BPR"))
+    ds = create_dataset(cfg)
+    (tl1, _), _, _ = data_preparation(cfg, ds)
+    (tl2, _), _, _ = data_preparation(cfg, ds)
+    b1 = next(iter(tl1))
+    b2 = next(iter(tl2))
+    np.testing.assert_array_equal(b1["user_id"], b2["user_id"])
+    np.testing.assert_array_equal(b1["neg_item_id"], b2["neg_item_id"])
+    # epoch 2 differs from epoch 1 (reshuffle + fresh negatives)
+    b1e2 = next(iter(tl1))
+    assert not np.array_equal(b1["user_id"], b1e2["user_id"])
