@@ -80,8 +80,47 @@ def data_preparation(config, dataset):
 
     Each element is (loader, split_dataset); the model consumes the
     *train* split dataset for graph construction, matching the
-    reference's `get_model(...)(config, train_data.dataset)`."""
-    train_ds, valid_ds, test_ds = dataset.build()
+    reference's `get_model(...)(config, train_data.dataset)`.
+
+    Tier-3 cache (reference utils.py:115-127 save/load_split_dataloaders):
+    with ``save_dataloaders`` the three built splits — including the
+    precomputed session-graph arrays — pickle alongside the dataset
+    cache and reload when the cache key matches."""
+    train_ds = valid_ds = test_ds = None
+    cache_path = None
+    if config["save_dataloaders"]:
+        import os
+        import pickle
+        cls_name = type(dataset).__name__
+        cache_path = os.path.join(
+            config["checkpoint_dir"] or "saved/",
+            f"{config['dataset']}-{cls_name}-splits.pth")
+        want_key = {k: config[k] for k in _DATASET_CACHE_KEYS}
+        want_key["eval_args"] = config["eval_args"]
+        if os.path.isfile(cache_path):
+            try:
+                with open(cache_path, "rb") as f:
+                    blob = pickle.load(f)
+                if blob.get("key") == want_key:
+                    train_ds, valid_ds, test_ds = blob["splits"]
+                    for ds_ in (train_ds, valid_ds, test_ds):
+                        ds_.config = config
+            except Exception:
+                train_ds = None
+    if train_ds is None:
+        train_ds, valid_ds, test_ds = dataset.build()
+        if cache_path is not None:
+            import os
+            import pickle
+            os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+            cfgs = [s.config for s in (train_ds, valid_ds, test_ds)]
+            for s in (train_ds, valid_ds, test_ds):
+                s.config = None
+            with open(cache_path, "wb") as f:
+                pickle.dump({"key": want_key,
+                             "splits": (train_ds, valid_ds, test_ds)}, f)
+            for s, c in zip((train_ds, valid_ds, test_ds), cfgs):
+                s.config = c
     is_seq = config["MODEL_TYPE"] == ModelType.SEQUENTIAL
     mode, sample_num = _parse_eval_mode(config)
 

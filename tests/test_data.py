@@ -299,3 +299,17 @@ def test_multibehavior_dataset_fallback_single_behavior():
     # single-behavior fallback: behavior node sets == joint node sets
     np.testing.assert_array_equal(g["x__interaction"], g["x"])
     np.testing.assert_array_equal(g["n_nodes__interaction"], g["n_nodes"])
+
+
+def test_dataloader_cache_roundtrip(tmp_path):
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    cfg = make_config(model="SRGNN", save_dataloaders=True,
+                      checkpoint_dir=str(tmp_path))
+    ds = create_dataset(cfg)
+    (tl1, tr1), _, _ = data_preparation(cfg, ds)
+    assert (tmp_path / "test-SessionGraphDataset-splits.pth").exists()
+    (tl2, tr2), _, _ = data_preparation(cfg, ds)   # loads from cache
+    np.testing.assert_array_equal(tr1.session_graphs["x"],
+                                  tr2.session_graphs["x"])
+    b1, b2 = next(iter(tl1)), next(iter(tl2))
+    np.testing.assert_array_equal(b1["item_seq"], b2["item_seq"])
