@@ -8,15 +8,20 @@ this kernel exploits the dst-sorted edge layout instead:
   edges     = the EC-aligned absolute chunks overlapping the block's
               edge range (host-built block_ptr, scalar-prefetched),
               streamed with double-buffered DMA
-  reduction = one-hot(dst_local)ᵀ @ msgs on the MXU per chunk into a
-              VMEM accumulator — no scatter anywhere
+  reduction = ONE transposed-one-hot (BM, EC) @ (EC, D) MXU matmul per
+              chunk/pass into a VMEM accumulator — no scatter anywhere
 
 Edges of neighboring blocks inside boundary chunks mask themselves:
 their dst_local falls outside [0, BM) so the one-hot row is zero.
 msgs (= x[src]·w) are gathered by XLA outside the kernel (XLA's gather
-is fine; its scatter is not).  Tiling: feature dim padded to 128
-lanes; msgs viewed as (E/SL, SL, D) and dst as (E/SL, SL) so every
-DMA slice is tile-aligned.
+is fine; its scatter is not).
+
+Layout notes: per-matmul issue overhead dominates at small K, so each
+chunk contracts in a single K=EC matmul; Mosaic cannot reshape
+sublanes into lanes, so the HBM operands are laid out chunk-major —
+msgs (E/EC, EC, D), dst (E/EC, 1, EC) — and every DMA slice lands
+tile-aligned with no in-kernel reshapes.  Feature dim padded to 128
+lanes.
 """
 
 from __future__ import annotations
@@ -36,9 +41,11 @@ ROWS = EC // SL
 
 
 def build_block_ptr(dst_sorted: np.ndarray, n_nodes: int,
-                    bm: int = BM) -> np.ndarray:
+                    bm: int | None = None) -> np.ndarray:
     """block_ptr[i] = first edge index with dst >= i·bm (host-side,
     once per graph); length n_blocks+1."""
+    if bm is None:
+        bm = BM          # read the module global at call time
     n_blocks = -(-n_nodes // bm)
     bounds = np.arange(n_blocks + 1) * bm
     return np.searchsorted(dst_sorted, bounds).astype(np.int32)
@@ -57,14 +64,12 @@ def _spmm_kernel(block_ptr_ref, dst_ref, msgs_ref, out_ref,
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
     def get_dma(slot, chunk_idx):
-        row = (c0 + chunk_idx) * ROWS
+        c = c0 + chunk_idx
         return (
             pltpu.make_async_copy(
-                msgs_ref.at[pl.ds(row, ROWS)], chunk_buf.at[slot],
-                sems.at[slot]),
+                msgs_ref.at[c], chunk_buf.at[slot], sems.at[slot]),
             pltpu.make_async_copy(
-                dst_ref.at[pl.ds(row, ROWS)], dst_buf.at[slot],
-                dst_sems.at[slot]),
+                dst_ref.at[c], dst_buf.at[slot], dst_sems.at[slot]),
         )
 
     @pl.when(n_chunks > 0)
@@ -84,28 +89,23 @@ def _spmm_kernel(block_ptr_ref, dst_ref, msgs_ref, out_ref,
             for dma in get_dma(slot, c):
                 dma.wait()
 
-            # transposed one-hot (ROWS, BM, SL); out-of-block edges
-            # vanish (their dst_local is outside [0, BM))
-            dst_local = dst_buf[slot] - block_base      # (ROWS, SL)
-            onehot_t = (jax.lax.broadcasted_iota(
-                jnp.int32, (ROWS, BM, SL), 1) == dst_local[:, None, :]
-            ).astype(jnp.float32)
-            # Mosaic matmul is 2D: unroll the ROWS axis into standard
-            # (BM,SL)@(SL,D) matmuls.  The one-hot operand is exact in
-            # bf16, so a 2-pass hi/lo split of the f32 messages gives
-            # f32-exact accumulation at bf16 MXU rate (vs 6-pass
-            # HIGHEST for two inexact operands).
+            # transposed one-hot built directly as (BM, EC): one big-K
+            # matmul per pass.  Out-of-block edges vanish (their
+            # dst_local is outside [0, BM)).
+            dst_row = dst_buf[slot]                     # (1, EC)
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (BM, EC), 0)
+                  == (dst_row - block_base)).astype(jnp.bfloat16)
+            m = chunk_buf[slot]                         # (EC, dpad)
+            # one-hot is exact in bf16 → 2-pass hi/lo split of the f32
+            # messages gives f32-exact accumulation at bf16 MXU rate
+            hi = m.astype(jnp.bfloat16)
+            lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             total = acc_ref[:]
-            for r in range(ROWS):
-                oh = onehot_t[r].astype(jnp.bfloat16)
-                m = chunk_buf[slot][r]
-                hi = m.astype(jnp.bfloat16)
-                lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                for part in (hi, lo):
-                    total = total + jax.lax.dot_general(
-                        oh, part,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+            for part in (hi, lo):
+                total = total + jax.lax.dot_general(
+                    oh, part,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             acc_ref[:] = total
             return carry
 
@@ -122,9 +122,11 @@ def _pallas_segment_sum(msgs: jax.Array, dst: jax.Array,
     assert e % EC == 0, "edge count must be padded to a multiple of EC"
     dpad = -(-d // 128) * 128
     if dpad != d:
+        # feature dim must be lane-aligned; callers avoid this copy by
+        # padding x before the gather (see pallas_spmm)
         msgs = jnp.pad(msgs, ((0, 0), (0, dpad - d)))
-    msgs3 = msgs.reshape(e // SL, SL, dpad)
-    dst2 = dst.reshape(e // SL, SL)
+    msgs3 = msgs.reshape(e // EC, EC, dpad)
+    dst3 = dst.reshape(e // EC, 1, EC)
     n_blocks = -(-n_nodes // BM)
     n_pad = n_blocks * BM
 
@@ -132,15 +134,15 @@ def _pallas_segment_sum(msgs: jax.Array, dst: jax.Array,
         num_scalar_prefetch=1,          # block_ptr
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # dst2 (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # dst3 (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),   # msgs3 (HBM)
         ],
         out_specs=pl.BlockSpec((BM, dpad), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((BM, dpad), jnp.float32),      # accumulator
-            pltpu.VMEM((2, ROWS, SL, dpad), jnp.float32),
-            pltpu.VMEM((2, ROWS, SL), jnp.int32),
+            pltpu.VMEM((2, EC, dpad), jnp.float32),
+            pltpu.VMEM((2, 1, EC), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -152,7 +154,7 @@ def _pallas_segment_sum(msgs: jax.Array, dst: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(block_ptr, dst2, msgs3)
+    )(block_ptr, dst3, msgs3)
     return out[:n_nodes, :d]
 
 
@@ -163,9 +165,16 @@ def pallas_spmm(src: jax.Array, dst: jax.Array, weight: jax.Array,
 
     Edges must be dst-sorted and padded to a multiple of EC with
     zero-weight edges (prepare_pallas_graph)."""
+    d = x.shape[1]
+    dpad = -(-d // 128) * 128
+    if dpad != d:
+        # pad the (N, d) table once — far cheaper than padding the
+        # (E, d) message stream inside the kernel wrapper
+        x = jnp.pad(x, ((0, 0), (0, dpad - d)))
     msgs = x[src] * weight[:, None].astype(x.dtype)
-    return _pallas_segment_sum(msgs.astype(jnp.float32), dst,
-                               block_ptr, n_nodes, interpret)
+    out = _pallas_segment_sum(msgs.astype(jnp.float32), dst,
+                              block_ptr, n_nodes, interpret)
+    return out[:, :d]
 
 
 def prepare_pallas_graph(src: np.ndarray, dst: np.ndarray,

@@ -170,10 +170,8 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
     @jax.custom_vjp
     def _f(w, x_):
         if use_pallas:
-            from recbole_gnn_tpu.ops.pallas_spmm import _pallas_segment_sum
-            msgs = x_[src] * w[:, None].astype(x_.dtype)
-            return _pallas_segment_sum(
-                msgs.astype(jnp.float32), dst, bp, n_out)
+            from recbole_gnn_tpu.ops.pallas_spmm import pallas_spmm
+            return pallas_spmm(src, dst, w, x_, n_out, bp)
         return spmm_coo(src, dst, w, x_, n_out)
 
     def _fwd(w, x_):
@@ -183,12 +181,11 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
         w, x_ = res
         # dL/dx[s] = Σ_{e: src[e]=s} w[e]·g[dst[e]] — transpose SpMM
         rw = w[reid]
-        rmsgs = g[rsrc] * rw[:, None].astype(g.dtype)
         if use_pallas and rbp is not None:
-            from recbole_gnn_tpu.ops.pallas_spmm import _pallas_segment_sum
-            gx = _pallas_segment_sum(
-                rmsgs.astype(jnp.float32), rdst, rbp, n_in)
+            from recbole_gnn_tpu.ops.pallas_spmm import pallas_spmm
+            gx = pallas_spmm(rsrc, rdst, rw, g, n_in, rbp)
         else:
+            rmsgs = g[rsrc] * rw[:, None].astype(g.dtype)
             gx = jax.ops.segment_sum(
                 rmsgs, rdst, num_segments=n_in, indices_are_sorted=True)
         # dL/dw[e] = x[src[e]] · g[dst[e]]
