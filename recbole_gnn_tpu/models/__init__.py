@@ -86,7 +86,6 @@ def get_model(name: str):
 
 
 def get_dataset_class(name: str):
-    import recbole_gnn_tpu.data as data_mod
     from recbole_gnn_tpu.data import dataset as dataset_mod
     info = model_info(name)
     # explicit <Model>Dataset override hook (reference utils.py:30-33)

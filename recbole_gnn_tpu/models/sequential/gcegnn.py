@@ -58,18 +58,17 @@ class GCEGNN(SequentialRecommender):
         uniq, counts = np.unique(key, return_counts=True)
         rows = (uniq // self.n_items).astype(np.int64)
         cols = (uniq % self.n_items).astype(np.int64)
-        # per row, take top-sample_num by count (desc)
+        # per row, take top-sample_num by count (desc) — vectorized
         S = self.sample_num
         adj = np.zeros((self.n_items, S), dtype=np.int64)
         wout = np.zeros((self.n_items, S), dtype=np.float32)
         order = np.lexsort((-counts, rows))
         rows_s, cols_s, cnt_s = rows[order], cols[order], counts[order]
         starts = np.searchsorted(rows_s, np.arange(self.n_items))
-        ends = np.searchsorted(rows_s, np.arange(self.n_items) + 1)
-        for i in range(self.n_items):
-            k = min(S, ends[i] - starts[i])
-            adj[i, :k] = cols_s[starts[i]:starts[i] + k]
-            wout[i, :k] = cnt_s[starts[i]:starts[i] + k]
+        pos = np.arange(len(rows_s)) - starts[rows_s]
+        keep = pos < S
+        adj[rows_s[keep], pos[keep]] = cols_s[keep]
+        wout[rows_s[keep], pos[keep]] = cnt_s[keep]
         return adj, wout
 
     def init_params(self, rng):

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from recbole_gnn_tpu.models.base import SequentialRecommender
 from recbole_gnn_tpu.models.init import linear, linear_params, normal_init, \
-    split_keys, xavier_uniform
+    split_keys
 from recbole_gnn_tpu.models.layers import gru_params, gru_step
 from recbole_gnn_tpu.models.losses import cross_entropy
 

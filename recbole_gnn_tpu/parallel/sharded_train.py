@@ -8,11 +8,9 @@ reduction becomes psum — no hand-written collectives (SURVEY.md §2.7).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from recbole_gnn_tpu.parallel.mesh import (
     batch_sharding, embedding_sharding, replicated)

@@ -19,7 +19,7 @@ from recbole_gnn_tpu.data.loader import (
 from recbole_gnn_tpu.models import get_dataset_class, get_model
 from recbole_gnn_tpu.train.trainer import get_trainer
 from recbole_gnn_tpu.utils.enums import ModelType
-from recbole_gnn_tpu.utils.logging import init_logger, get_logger
+from recbole_gnn_tpu.utils.logging import init_logger
 from recbole_gnn_tpu.utils.seed import init_seed
 
 

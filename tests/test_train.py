@@ -110,3 +110,19 @@ def test_config_cli_parsing():
 def test_unknown_model_raises():
     with pytest.raises(ValueError, match="unknown model"):
         Config(model="NotAModel", dataset="test")
+
+
+def test_extras_checkpointed_and_restored(tmp_path):
+    """Models with rich extras (NCL centroids) save/restore them through
+    the best-model checkpoint (other_parameter_name parity)."""
+    from recbole_gnn_tpu.quick_start import run_recbole_gnn_tpu
+    from recbole_gnn_tpu.train.checkpoint import load_checkpoint
+    run_recbole_gnn_tpu(
+        model="NCL", dataset="test",
+        config_dict=base_config_dict(
+            model="NCL", num_clusters=8, warm_up_step=0, epochs=1,
+            checkpoint_dir=str(tmp_path)),
+        saved=True, verbose=False)
+    state = load_checkpoint(str(tmp_path / "NCL-test.ckpt"))
+    assert "user_centroids" in state["extras"]
+    assert state["extras"]["user_centroids"].shape[0] == 8
