@@ -57,6 +57,15 @@ class Trainer:
         self.train_timings: list[float] = []
         self.jsonl = JsonlSink(config["metrics_log_path"])
         self._profile_dir = config["profile_trace_dir"]
+        self._tb = None
+        if config["tensorboard_dir"]:
+            # optional TB scalars ([recbole] trainer parity); the writer
+            # comes from torch (baked in), used lazily and best-effort
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(config["tensorboard_dir"])
+            except Exception:
+                self._tb = None
 
     # -- jitted step ----------------------------------------------------
 
@@ -129,6 +138,8 @@ class Trainer:
             self.jsonl.write({"event": "train_epoch", "epoch": epoch,
                               "loss": total, "seconds": dt,
                               "examples_per_s": n_examples / max(dt, 1e-9)})
+            if self._tb is not None:
+                self._tb.add_scalar("Loss/train", total, epoch)
             if verbose:
                 self.logger.info(
                     f"epoch {epoch} : train loss {total:.4f} [{dt:.2f}s, "
@@ -142,6 +153,8 @@ class Trainer:
                                    next(iter(result.values())))
                 self.jsonl.write({"event": "valid", "epoch": epoch,
                                   **result})
+                if self._tb is not None:
+                    self._tb.add_scalar("Valid_score", score, epoch)
                 if verbose:
                     self.logger.info(f"epoch {epoch} : valid {result}")
                 improved = (best_score is None or
