@@ -33,13 +33,18 @@ def shard_params_spec(params, mesh: Mesh, table_axis: str = "tp",
     emb = embedding_sharding(mesh, table_axis)
     rep = replicated(mesh)
 
+    n_shards = mesh.shape.get(table_axis, 1)
+
     def walk(node, key=None):
         if isinstance(node, dict):
             return {k: walk(v, k) for k, v in node.items()}
         if isinstance(node, (list, tuple)):
             t = type(node)
             return t(walk(v) for v in node)
-        if key in table_keys and hasattr(node, "ndim") and node.ndim == 2:
+        if (key in table_keys and hasattr(node, "ndim") and node.ndim == 2
+                and node.shape[0] % n_shards == 0):
+            # rows must divide the shard count for an explicit placement;
+            # odd tables fall back to replication (pad upstream to shard)
             return emb
         return rep
 

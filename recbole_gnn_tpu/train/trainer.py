@@ -55,6 +55,10 @@ class Trainer:
             ckpt_dir, f"{config['model']}-{config['dataset']}.ckpt")
         self._step_fns: dict[int, callable] = {}
         self.train_timings: list[float] = []
+        self._mesh = None
+        if config["mesh_shape"]:
+            from recbole_gnn_tpu.parallel.mesh import make_mesh
+            self._mesh = make_mesh(dict(config["mesh_shape"]))
         self.jsonl = JsonlSink(config["metrics_log_path"])
         self._profile_dir = config["profile_trace_dir"]
         self._tb = None
@@ -87,7 +91,11 @@ class Trainer:
                 grads, opt_state, params)
             return new_params, new_opt_state, loss, aux
 
-        fn = jax.jit(step, donate_argnums=(0, 1))
+        if self._mesh is not None:
+            with self._mesh:
+                fn = jax.jit(step, donate_argnums=(0, 1))
+        else:
+            fn = jax.jit(step, donate_argnums=(0, 1))
         self._step_fns[mode] = fn
         return fn
 
@@ -103,6 +111,11 @@ class Trainer:
         extras = self.model.init_extras(k_extras)
         opt_state = self.optimizer.init(params)
         consts = self.model.consts
+        if self._mesh is not None:
+            # mesh mode: row-sharded embedding tables + dp batch sharding
+            # from input placement alone (GSPMD inserts the collectives)
+            from recbole_gnn_tpu.parallel.sharded_train import place_state
+            params, opt_state = place_state(params, opt_state, self._mesh)
 
         best_score = None
         best_result: dict = {}
@@ -122,6 +135,10 @@ class Trainer:
             n_examples = 0
             for i, batch in enumerate(train_loader):
                 rng = jax.random.fold_in(ek, i)
+                if self._mesh is not None:
+                    from recbole_gnn_tpu.parallel.sharded_train import (
+                        place_batch)
+                    batch = place_batch(batch, self._mesh)
                 params, opt_state, loss, _aux = step_fn(
                     params, opt_state, consts, extras, batch, rng)
                 losses.append(loss)

@@ -83,3 +83,32 @@ def test_shard_params_spec_targets_tables():
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_trainer_mesh_mode_matches_single_device():
+    """mesh_shape config flag: Trainer trains with dp x tp sharding and
+    reaches (numerically) the same params as single-device."""
+    from conftest import base_config_dict
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.train.trainer import Trainer
+
+    cfg1 = Config(config_dict=base_config_dict(model="LightGCN", epochs=1))
+    ds = create_dataset(cfg1)
+    (tl, tr_ds), (vl, _), _ = data_preparation(cfg1, ds)
+    m1 = get_model("LightGCN")(cfg1, tr_ds)
+    t1 = Trainer(cfg1, m1)
+    t1.fit(tl, None, saved=False, verbose=False)
+
+    cfg2 = Config(config_dict=base_config_dict(
+        model="LightGCN", epochs=1, mesh_shape={"dp": 4, "tp": 2}))
+    (tl2, tr_ds2), _, _ = data_preparation(cfg2, ds)
+    m2 = get_model("LightGCN")(cfg2, tr_ds2)
+    t2 = Trainer(cfg2, m2)
+    assert t2._mesh is not None
+    t2.fit(tl2, None, saved=False, verbose=False)
+
+    np.testing.assert_allclose(np.asarray(t1.params["user_emb"]),
+                               np.asarray(t2.params["user_emb"]),
+                               rtol=5e-4, atol=5e-5)
