@@ -108,18 +108,18 @@ class Evaluator:
                                  batch["pos_len"], batch["weight"])
 
     @partial(jax.jit, static_argnums=0)
-    def _sequential_full_sort_batch(self, params, extras, batch, rng):
+    def _sequential_full_sort_batch(self, params, consts, extras, batch, rng):
         scores = self.model.full_scores(
-            params, self.model.consts, extras, batch, rng, False)
+            params, consts, extras, batch, rng, False)
         scores = scores.at[:, 0].set(NEG_INF)
         _, idx = jax.lax.top_k(scores, self.max_k)
         return self._metric_sums(idx, batch["pos_items"], batch["pos_len"],
                                  batch["weight"])
 
     @partial(jax.jit, static_argnums=0)
-    def _sequential_candidates_batch(self, params, extras, batch, rng):
+    def _sequential_candidates_batch(self, params, consts, extras, batch, rng):
         scores = self.model.full_scores(
-            params, self.model.consts, extras, batch, rng, False)
+            params, consts, extras, batch, rng, False)
         cand = batch["candidates"]
         cscores = jnp.take_along_axis(scores, cand, axis=1)
         valid = jnp.arange(cand.shape[1])[None, :] < batch["cand_len"][:, None]
@@ -138,10 +138,11 @@ class Evaluator:
         """Run a full evaluation pass; returns {metric@k: float}."""
         totals: dict[str, float] = {}
         if self.is_sequential:
+            consts = self.model.consts
             for batch in loader:
                 fn = (self._sequential_full_sort_batch if mode == "full"
                       else self._sequential_candidates_batch)
-                sums = fn(params, extras, batch, self._eval_rng)
+                sums = fn(params, consts, extras, batch, self._eval_rng)
                 self._accumulate(totals, sums)
         elif not self.model.factorized_eval:
             for batch in loader:
@@ -151,9 +152,12 @@ class Evaluator:
                 self._accumulate(totals, sums)
         else:
             if self._propagate_jit is None:
+                # consts passed as a jit argument — closure capture would
+                # bake the (possibly 100MB+) adjacency into the HLO
                 self._propagate_jit = jax.jit(
-                    lambda p, e: self.model.propagate(p, self.model.consts, e))
-            user_all, item_all = self._propagate_jit(params, extras)
+                    lambda p, c, e: self.model.propagate(p, c, e))
+            user_all, item_all = self._propagate_jit(
+                params, self.model.consts, extras)
             for batch in loader:
                 fn = (self._general_full_sort_batch if mode == "full"
                       else self._general_candidates_batch)

@@ -71,10 +71,14 @@ class SGL(GeneralGraphRecommender):
             return keep_u[users] & keep_i[items]
         return jax.random.uniform(rng, (n_inter,)) >= self.drop_ratio
 
-    def _build_view(self, rng):
-        """One augmented view: (n_layers, …) stacked graph weights."""
-        users = self.consts["aug_users"]
-        items = self.consts["aug_items"]
+    def _build_view(self, rng, consts):
+        """One augmented view: (n_layers, …) stacked graph weights.
+
+        ``consts`` is an explicit argument (not a closure capture) so
+        the interaction arrays stay jit *inputs* — closure-captured
+        arrays bake into the HLO as constants and stall compilation."""
+        users = consts["aug_users"]
+        items = consts["aug_items"]
         n_inter = users.shape[0]
         n_rep = self.n_layers if self.aug_type == "RW" else 1
         keys = jax.random.split(rng, n_rep)
@@ -91,13 +95,13 @@ class SGL(GeneralGraphRecommender):
                 di = jnp.where(deg_i > 0, jax.lax.rsqrt(jnp.maximum(deg_i, 1e-12)), 0.0)
                 outs.append(a_bin * du[:, None] * di[None, :])
             else:
-                g = self.consts["graph"]
+                g = consts["graph"]
                 # both directions of a kept interaction survive; map the
                 # interaction keep-mask onto dst-sorted edge order (the
                 # sentinel row keeps pallas pad edges dead)
                 keep_ext = jnp.concatenate(
                     [keep, jnp.zeros((1,), keep.dtype)])
-                mask_e = keep_ext[self.consts["edge_inter_id"]]
+                mask_e = keep_ext[consts["edge_inter_id"]]
                 outs.append(sym_norm_weights(g.src, g.dst, g.n_nodes,
                                              mask=mask_e))
         if n_rep == 1:
@@ -106,17 +110,18 @@ class SGL(GeneralGraphRecommender):
 
     def init_extras(self, rng):
         k1, k2 = jax.random.split(rng)
-        return {"view1": self._build_view(k1), "view2": self._build_view(k2)}
+        return {"view1": self._build_view(k1, self.consts),
+                "view2": self._build_view(k2, self.consts)}
 
     def epoch_start(self, epoch, params, consts, extras, rng):
         # views rebuilt every epoch (reference train() override :73-80)
         if self._aug_builder is None:
-            def build(r):
+            def build(r, c):
                 k1, k2 = jax.random.split(r)
-                return {"view1": self._build_view(k1),
-                        "view2": self._build_view(k2)}
+                return {"view1": self._build_view(k1, c),
+                        "view2": self._build_view(k2, c)}
             self._aug_builder = jax.jit(build)
-        return self._aug_builder(rng)
+        return self._aug_builder(rng, consts)
 
     # -- forward ---------------------------------------------------------
 

@@ -104,15 +104,17 @@ class SEPT(SocialRecommender):
     # -- per-epoch subgraph ------------------------------------------------
 
     def init_extras(self, rng):
-        return {"sub_weight": self._build_sub_weight(rng)}
+        return {"sub_weight": self._build_sub_weight(rng, self.consts)}
 
-    def _build_sub_weight(self, rng):
+    def _build_sub_weight(self, rng, consts):
+        # consts passed explicitly: closure-captured edge arrays would
+        # bake into the HLO as constants and stall compilation
         k1, k2 = jax.random.split(rng)
         keep_inter = jax.random.uniform(k1, (self._n_inter,)) >= self.drop_ratio
         keep_net = jax.random.uniform(k2, (self._n_net,)) >= self.drop_ratio
         keep = jnp.concatenate([keep_inter, keep_net])
-        mask_e = keep[self.consts["sub_edge_id"]]
-        g = self.consts["sub_graph"]
+        mask_e = keep[consts["sub_edge_id"]]
+        g = consts["sub_graph"]
         return sym_norm_weights(g.src, g.dst, g.n_nodes, mask=mask_e)
 
     def epoch_start(self, epoch, params, consts, extras, rng):
@@ -120,8 +122,8 @@ class SEPT(SocialRecommender):
             return extras
         if self._sub_builder is None:
             self._sub_builder = jax.jit(
-                lambda r: {"sub_weight": self._build_sub_weight(r)})
-        return self._sub_builder(rng)
+                lambda r, c: {"sub_weight": self._build_sub_weight(r, c)})
+        return self._sub_builder(rng, consts)
 
     def loss_mode(self, epoch):
         # mode 0 = warm-up: rec loss only (reference SEPTTrainer :174-179)
