@@ -214,7 +214,6 @@ class Trainer:
                 params, extras = state["params"], state.get("extras", {})
             else:
                 params, extras = self.params, self.extras
-        self.evaluator._propagate_jit = None  # invalidate cached propagation
         return self.evaluator.evaluate(params, extras or {}, eval_loader,
                                        mode=_eval_mode(self.config))
 
