@@ -10,6 +10,10 @@ switching, one extra jit specialization per mode).
 TPU-first details:
   * one compiled step per (batch-shape, loss-mode) — loaders emit
     constant shapes, so normally exactly one compilation;
+  * scan epochs (default): the whole epoch runs as ONE jitted
+    lax.scan over stacked batches — per-step host dispatch (which can
+    double step time over a remote device transport) disappears;
+    `epoch_scan: false` restores per-step dispatch;
   * params/opt-state donated to the step (no HBM copies);
   * losses accumulated as device scalars, synced once per epoch;
   * per-step PRNG = fold_in(epoch_key, step).
@@ -54,6 +58,8 @@ class Trainer:
         self.saved_model_file = os.path.join(
             ckpt_dir, f"{config['model']}-{config['dataset']}.ckpt")
         self._step_fns: dict[int, callable] = {}
+        self._scan_fns: dict[int, callable] = {}
+        self._use_scan = config["epoch_scan"] is not False
         self.train_timings: list[float] = []
         self._mesh = None
         if config["mesh_shape"]:
@@ -99,6 +105,43 @@ class Trainer:
         self._step_fns[mode] = fn
         return fn
 
+    def _get_scan_fn(self, mode: int):
+        """Whole-epoch step: one dispatch, lax.scan over stacked batches."""
+        if mode in self._scan_fns:
+            return self._scan_fns[mode]
+        model = self.model
+        optimizer = self.optimizer
+
+        def epoch(params, opt_state, consts, extras, batches, epoch_key):
+            def scan_step(carry, inp):
+                params, opt_state = carry
+                batch, idx = inp
+                rng = jax.random.fold_in(epoch_key, idx)
+
+                def loss_fn(p):
+                    loss, aux = model.calculate_loss(
+                        p, consts, extras, batch, rng, mode=mode)
+                    return loss, aux
+
+                (loss, _aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                params, opt_state = optimizer.update(grads, opt_state, params)
+                return (params, opt_state), loss
+
+            n = jax.tree_util.tree_leaves(batches)[0].shape[0]
+            (params, opt_state), losses = jax.lax.scan(
+                scan_step, (params, opt_state),
+                (batches, jnp.arange(n)))
+            return params, opt_state, jnp.sum(losses)
+
+        if self._mesh is not None:
+            with self._mesh:
+                fn = jax.jit(epoch, donate_argnums=(0, 1))
+        else:
+            fn = jax.jit(epoch, donate_argnums=(0, 1))
+        self._scan_fns[mode] = fn
+        return fn
+
     # -- training loop --------------------------------------------------
 
     def fit(self, train_loader, valid_loader=None, saved: bool = True,
@@ -131,21 +174,42 @@ class Trainer:
                 # skip epoch 0 (compilation) and trace one steady epoch
                 jax.profiler.start_trace(self._profile_dir)
             t0 = time.time()
-            losses = []
-            n_examples = 0
-            for i, batch in enumerate(train_loader):
-                rng = jax.random.fold_in(ek, i)
+            if self._use_scan:
+                batch_list = list(train_loader)
+                stacked = {k: np.stack([b[k] for b in batch_list])
+                           for k in batch_list[0]}
+                n_examples = int(stacked["weight"].sum()) \
+                    if "weight" in stacked else \
+                    int(np.prod(next(iter(stacked.values())).shape[:2]))
                 if self._mesh is not None:
                     from recbole_gnn_tpu.parallel.sharded_train import (
                         place_batch)
-                    batch = place_batch(batch, self._mesh)
-                params, opt_state, loss, _aux = step_fn(
-                    params, opt_state, consts, extras, batch, rng)
-                losses.append(loss)
-                w = batch.get("weight")
-                n_examples += int(w.sum()) if w is not None else \
-                    len(next(iter(batch.values())))
-            total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+                    # batches sharded over dp on their per-step batch axis
+                    stacked = {k: v for k, v in place_batch(
+                        {k: np.swapaxes(v, 0, 1) for k, v in
+                         stacked.items()}, self._mesh).items()}
+                    stacked = {k: jnp.swapaxes(v, 0, 1)
+                               for k, v in stacked.items()}
+                scan_fn = self._get_scan_fn(mode)
+                params, opt_state, loss_sum = scan_fn(
+                    params, opt_state, consts, extras, stacked, ek)
+                total = float(loss_sum)
+            else:
+                losses = []
+                n_examples = 0
+                for i, batch in enumerate(train_loader):
+                    rng = jax.random.fold_in(ek, i)
+                    if self._mesh is not None:
+                        from recbole_gnn_tpu.parallel.sharded_train import (
+                            place_batch)
+                        batch = place_batch(batch, self._mesh)
+                    params, opt_state, loss, _aux = step_fn(
+                        params, opt_state, consts, extras, batch, rng)
+                    losses.append(loss)
+                    w = batch.get("weight")
+                    n_examples += int(w.sum()) if w is not None else \
+                        len(next(iter(batch.values())))
+                total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
             dt = time.time() - t0
             if self._profile_dir and epoch == 1:
                 jax.profiler.stop_trace()

@@ -126,3 +126,19 @@ def test_extras_checkpointed_and_restored(tmp_path):
     state = load_checkpoint(str(tmp_path / "NCL-test.ckpt"))
     assert "user_centroids" in state["extras"]
     assert state["extras"]["user_centroids"].shape[0] == 8
+
+
+def test_epoch_scan_matches_per_step():
+    """Scan-epoch mode must be numerically identical to per-step."""
+    from recbole_gnn_tpu.quick_start import run_recbole_gnn_tpu
+    results = []
+    for scan in (True, False):
+        res = run_recbole_gnn_tpu(
+            model="LightGCN", dataset="test",
+            config_dict=base_config_dict(model="LightGCN", epochs=2,
+                                         epoch_scan=scan),
+            saved=False, verbose=False)
+        results.append(res["test_result"])
+    for k in results[0]:
+        np.testing.assert_allclose(results[0][k], results[1][k],
+                                   rtol=1e-5, atol=1e-7)
