@@ -313,3 +313,69 @@ def test_dataloader_cache_roundtrip(tmp_path):
                                   tr2.session_graphs["x"])
     b1, b2 = next(iter(tl1)), next(iter(tl2))
     np.testing.assert_array_equal(b1["item_seq"], b2["item_seq"])
+
+
+def test_atomic_seq_fields(tmp_path):
+    from recbole_gnn_tpu.data.atomic import read_atomic_file
+    p = tmp_path / "t.inter"
+    p.write_text("user_id:token\tvals:float_seq\ttags:token_seq\n"
+                 "7\t0.5 1.25 -2\ta b\n"
+                 "8\t3\tc\n")
+    cols, types = read_atomic_file(str(p))
+    assert types == {"user_id": "token", "vals": "float_seq",
+                     "tags": "token_seq"}
+    np.testing.assert_allclose(cols["vals"][0], [0.5, 1.25, -2.0])
+    assert list(cols["tags"][0]) == ["a", "b"]
+    assert list(cols["tags"][1]) == ["c"]
+
+
+def test_bf16_dense_adjacency_error_bound():
+    """graph_dtype bfloat16 propagation stays within bf16 tolerance of
+    the f32 path (quality guardrail for the fast adjacency option)."""
+    import jax.numpy as jnp
+    from recbole_gnn_tpu.ops.spmm import spmm_any
+    ds = GeneralGraphDataset(make_config())
+    g32 = ds.get_norm_adj_graph()
+    cfg16 = make_config(graph_dtype="bfloat16")
+    ds16 = GeneralGraphDataset(cfg16)
+    g16 = ds16.get_norm_adj_graph()
+    assert g16.a.dtype == jnp.bfloat16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(g32.n_nodes, 16)), jnp.float32)
+    o32 = np.asarray(spmm_any(g32, x))
+    o16 = np.asarray(spmm_any(g16, x))
+    # global normalized RMS error within bf16 tolerance
+    rel = np.linalg.norm(o32 - o16) / np.linalg.norm(o32)
+    assert rel < 0.01, rel
+
+
+def test_gcegnn_global_graph_golden():
+    """Hand-checked co-occurrence table (reference
+    construct_global_graph semantics: counts over target x first-4
+    history both ways, top-sample_num by count)."""
+    import jax
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.config import Config
+
+    class _DS:
+        pass
+
+    ds = _DS()
+    ds.n_users, ds.n_items = 5, 6
+    ds.iid_field = "item_id"
+    ds.item_list_field = "item_id_list"
+    ds.inter = {
+        # two samples: target 3 with history [1,2]; target 1 with [3]
+        "item_id": np.array([3, 1]),
+        "item_id_list": np.array([[1, 2, 0, 0], [3, 0, 0, 0]]),
+    }
+    cfg = Config(model="GCEGNN", dataset="test",
+                 config_dict={"data_path": "tests/test_data",
+                              "sample_num": 2, "MAX_ITEM_LIST_LENGTH": 4})
+    adj, w = get_model("GCEGNN")(cfg, ds)._construct_global_graph(ds)
+    # pair (3,1) occurs twice (once from each sample, both directions),
+    # (3,2) and (2,3)... : neighbors of 3 = {1: count 2, 2: count 1}
+    assert list(adj[3]) == [1, 2]
+    np.testing.assert_allclose(w[3], [2.0, 1.0])
+    assert adj[1][0] == 3 and w[1][0] == 2.0
+    assert adj[2][0] == 3 and w[2][0] == 1.0
