@@ -139,20 +139,3 @@ class SequentialRecommender(BaseRecommender):
         logits = self.full_scores(params, consts, extras, batch, rng, True)
         loss = cross_entropy(logits, batch["item_id"], batch.get("weight"))
         return loss, {"ce": loss}
-
-
-def batch_graph_nodes(batch: Batch, max_len: int
-                      ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Disjoint-union view of a padded session batch.
-
-    Returns (node_items (B·L,), edge offsets helper, node validity).
-    Global node id of (row b, slot s) = b·L + s — static arithmetic,
-    replacing the reference's per-batch Python offset transform
-    (transform.py:21-54)."""
-    x = batch["x"]                       # (B, L) item per node slot
-    B = x.shape[0]
-    node_items = x.reshape(B * max_len)
-    slot = jnp.arange(max_len)[None, :]
-    node_valid = (slot < batch["n_nodes"][:, None]).reshape(B * max_len)
-    row_offset = jnp.arange(B, dtype=jnp.int32) * max_len
-    return node_items, row_offset, node_valid
