@@ -83,6 +83,14 @@ class SequentialDataset(Dataset):
         new_inter = {k: v[tgt] for k, v in inter.items()}
         new_inter[self.item_list_field] = seqs
         new_inter[self.item_length_field] = lengths
+        # window the behavior sequence alongside items when configured
+        # (MultiBehaviorDataset; [recbole] augments every list field)
+        bid_field = self.config["BEHAVIOR_ID_FIELD"]
+        blist_field = self.config["ITEM_BEHAVIOR_LIST_FIELD"]
+        if bid_field and blist_field and bid_field in inter:
+            bvals = inter[bid_field]
+            new_inter[blist_field] = np.where(
+                valid, bvals[gather_idx], 0).astype(np.int32)
         self.inter = new_inter
         self._augmented = True
 

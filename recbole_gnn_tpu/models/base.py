@@ -73,12 +73,6 @@ class BaseRecommender:
         SEPT subgraph rebuild, HMLET temperature decay…).  Default: no-op."""
         return extras
 
-    def loss_parts_to_use(self, epoch: int, n_parts: int) -> int:
-        """How many components of a tuple loss to sum at this epoch —
-        reproduces warm-up behaviors living in the reference's custom
-        trainers (trainer.py:129-131).  Default: all."""
-        return n_parts
-
 
 class GeneralGraphRecommender(BaseRecommender):
     """General recommenders over the normalized U-I bipartite graph

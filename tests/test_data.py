@@ -379,3 +379,32 @@ def test_gcegnn_global_graph_golden():
     np.testing.assert_allclose(w[3], [2.0, 1.0])
     assert adj[1][0] == 3 and w[1][0] == 2.0
     assert adj[2][0] == 3 and w[2][0] == 1.0
+
+
+def test_multibehavior_with_behavior_field(tmp_path):
+    """MultiBehavior with a real behavior column: per-behavior node sets
+    partition the joint node set."""
+    d = tmp_path / "mb"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    with open(d / "mb.inter", "w") as f:
+        f.write("user_id:token\titem_id:token\tbehavior:token\t"
+                "timestamp:float\n")
+        for u in range(1, 40):
+            for j in range(6):
+                f.write(f"{u}\t{rng.integers(1, 30)}\t"
+                        f"{'click' if j % 2 else 'buy'}\t{1000 + j}\n")
+    from recbole_gnn_tpu.data.session import MultiBehaviorDataset
+    cfg = make_config(
+        model="SRGNN", dataset="mb", data_path=str(tmp_path),
+        BEHAVIOR_ID_FIELD="behavior", ITEM_BEHAVIOR_LIST_FIELD="behavior_list",
+        load_col={"inter": ["user_id", "item_id", "behavior", "timestamp"]})
+    ds = MultiBehaviorDataset(cfg)
+    tr, _, _ = ds.build()
+    g = tr.session_graphs
+    names = [k for k in g if k.startswith("x__")]
+    assert len(names) >= 2   # two behaviors
+    # each behavior's node count <= joint node count
+    for n in names:
+        cnt_key = "n_nodes__" + n[3:]
+        assert (g[cnt_key] <= g["n_nodes"]).all()
