@@ -159,19 +159,23 @@ def layer_norm(p: dict, x: jax.Array, eps: float = 1e-12) -> jax.Array:
 
 def transformer_encoder(p: dict, x: jax.Array, attn_mask: jax.Array,
                         dropout_rng: jax.Array | None = None,
-                        dropout: float = 0.0, n_heads: int = 1) -> jax.Array:
+                        dropout: float = 0.0, n_heads: int = 1,
+                        attn_dropout: float | None = None) -> jax.Array:
     """Post-LN transformer (the [recbole] TransformerEncoder layout used
     by GCSAN, gcsan.py:59-68).  ``attn_mask`` is (B, T, T) additive
-    (0 keep / -inf drop); ``n_heads`` is static (not part of params)."""
+    (0 keep / -inf drop); ``n_heads`` is static (not part of params).
+    ``attn_dropout`` (defaults to ``dropout``) drops attention probs."""
     B, T, D = x.shape
     dh = D // n_heads
+    if attn_dropout is None:
+        attn_dropout = dropout
 
-    def maybe_dropout(rng, h):
-        if dropout_rng is None or dropout <= 0.0:
+    def maybe_dropout(rng, h, rate):
+        if dropout_rng is None or rate <= 0.0:
             return rng, h
         rng, sub = jax.random.split(rng)
-        keep = jax.random.bernoulli(sub, 1.0 - dropout, h.shape)
-        return rng, jnp.where(keep, h / (1.0 - dropout), 0.0)
+        keep = jax.random.bernoulli(sub, 1.0 - rate, h.shape)
+        return rng, jnp.where(keep, h / (1.0 - rate), 0.0)
 
     rng = dropout_rng
     for lp in p["layers"]:
@@ -181,15 +185,17 @@ def transformer_encoder(p: dict, x: jax.Array, attn_mask: jax.Array,
         scores = jnp.einsum("bhtd,bhsd->bhts", q, k) / jnp.sqrt(float(dh))
         scores = scores + attn_mask[:, None, :, :]
         attn = jax.nn.softmax(scores, axis=-1)
+        if rng is not None:
+            rng, attn = maybe_dropout(rng, attn, attn_dropout)
         ctx = jnp.einsum("bhts,bhsd->bhtd", attn, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
         h = linear(lp["o"], ctx)
         if rng is not None:
-            rng, h = maybe_dropout(rng, h)
+            rng, h = maybe_dropout(rng, h, dropout)
         x = layer_norm(lp["ln1"], x + h)
         ff = linear(lp["ff2"], jax.nn.gelu(linear(lp["ff1"], x)))
         if rng is not None:
-            rng, ff = maybe_dropout(rng, ff)
+            rng, ff = maybe_dropout(rng, ff, dropout)
         x = layer_norm(lp["ln2"], x + ff)
     return x
 

@@ -31,6 +31,7 @@ class GCSAN(SequentialRecommender):
         self.hidden_size = int(config["hidden_size"] or 64)
         self.inner_size = int(config["inner_size"] or 256)
         self.hidden_dropout_prob = float(config["hidden_dropout_prob"] or 0.2)
+        self.attn_dropout_prob = float(config["attn_dropout_prob"] or 0.2)
         self.step = int(config["step"] or 1)
         self.weight = float(config["weight"] or 0.6)
         self.reg_weight = float(config["reg_weight"] or 5e-5)
@@ -61,7 +62,8 @@ class GCSAN(SequentialRecommender):
             params["transformer"], seq_hidden, attn_mask,
             dropout_rng=rng if train else None,
             dropout=self.hidden_dropout_prob if train else 0.0,
-            n_heads=self.n_heads)
+            n_heads=self.n_heads,
+            attn_dropout=self.attn_dropout_prob if train else 0.0)
         at = last_hidden(out, batch["item_seq_len"])
         return self.weight * at + (1.0 - self.weight) * ht
 

@@ -27,6 +27,7 @@ class SASRec(SequentialRecommender):
         self.hidden_size = int(config["hidden_size"] or 64)
         self.inner_size = int(config["inner_size"] or 256)
         self.hidden_dropout_prob = float(config["hidden_dropout_prob"] or 0.5)
+        self.attn_dropout_prob = float(config["attn_dropout_prob"] or 0.5)
         self.initializer_range = float(config["initializer_range"] or 0.02)
         self.loss_type = str(config["loss_type"] or "CE")
 
@@ -60,7 +61,8 @@ class SASRec(SequentialRecommender):
             params["transformer"], h, attn_mask,
             dropout_rng=rng if train else None,
             dropout=self.hidden_dropout_prob if train else 0.0,
-            n_heads=self.n_heads)
+            n_heads=self.n_heads,
+            attn_dropout=self.attn_dropout_prob if train else 0.0)
         idx = jnp.maximum(batch["item_seq_len"] - 1, 0)
         return jnp.take_along_axis(out, idx[:, None, None], axis=1)[:, 0]
 
