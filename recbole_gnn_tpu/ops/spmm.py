@@ -144,14 +144,58 @@ def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
                  as_j(block_ptr), as_j(rev_block_ptr), int(nnz))
 
 
+# peak bytes allowed for the materialized (E, D) message stream before
+# the edge-chunked accumulation path kicks in (HBM headroom guard)
+MSGS_BYTES_BUDGET = 1 << 29     # 512 MB
+
+
 def spmm_coo(src: jax.Array, dst: jax.Array, weight: jax.Array,
              x: jax.Array, n_out: int,
              indices_are_sorted: bool = True) -> jax.Array:
     """out[d] = Σ_{e: dst[e]=d} weight[e] · x[src[e]] (no custom VJP —
-    the autodiff path; use spmm() with a built Graph in hot loops)."""
+    the autodiff path; use spmm() with a built Graph in hot loops).
+
+    Large graphs (E·D beyond MSGS_BYTES_BUDGET) accumulate over edge
+    chunks so the gathered message stream never materializes whole."""
+    e = src.shape[0]
+    d = x.shape[1]
+    if e * d * 4 > MSGS_BYTES_BUDGET:
+        return _spmm_coo_chunked(src, dst, weight, x, n_out,
+                                 indices_are_sorted)
     msgs = x[src] * weight[:, None].astype(x.dtype)
     return jax.ops.segment_sum(msgs, dst, num_segments=n_out,
                                indices_are_sorted=indices_are_sorted)
+
+
+def _spmm_coo_chunked(src, dst, weight, x, n_out, indices_are_sorted,
+                      chunk: int | None = None):
+    """Edge-chunked accumulation: Σ_g segment_sum over chunk g (exact —
+    partial segment sums add).  Pads the edge arrays with weight-0
+    self-edges to a chunk multiple."""
+    e = src.shape[0]
+    d = x.shape[1]
+    if chunk is None:
+        chunk = max(1, MSGS_BYTES_BUDGET // (8 * d * 4))  # /2 for in+out
+        chunk = min(e, chunk)
+    n_chunks = -(-e // chunk)
+    pad = n_chunks * chunk - e
+    if pad:
+        src = jnp.concatenate([src, jnp.zeros((pad,), src.dtype)])
+        dst = jnp.concatenate([dst, jnp.zeros((pad,), dst.dtype)])
+        weight = jnp.concatenate(
+            [weight, jnp.zeros((pad,), weight.dtype)])
+
+    def body(g, acc):
+        s = jax.lax.dynamic_slice_in_dim(src, g * chunk, chunk)
+        t = jax.lax.dynamic_slice_in_dim(dst, g * chunk, chunk)
+        w = jax.lax.dynamic_slice_in_dim(weight, g * chunk, chunk)
+        msgs = x[s] * w[:, None].astype(x.dtype)
+        return acc + jax.ops.segment_sum(
+            msgs, t, num_segments=n_out,
+            indices_are_sorted=indices_are_sorted)
+
+    acc0 = jnp.zeros((n_out, d), x.dtype)
+    return jax.lax.fori_loop(0, n_chunks, body, acc0)
 
 
 def spmm(graph: Graph, x: jax.Array) -> jax.Array:
@@ -185,9 +229,8 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
             from recbole_gnn_tpu.ops.pallas_spmm import pallas_spmm
             gx = pallas_spmm(rsrc, rdst, rw, g, n_in, rbp)
         else:
-            rmsgs = g[rsrc] * rw[:, None].astype(g.dtype)
-            gx = jax.ops.segment_sum(
-                rmsgs, rdst, num_segments=n_in, indices_are_sorted=True)
+            # spmm_coo auto-chunks huge graphs (no full msgs stream)
+            gx = spmm_coo(rsrc, rdst, rw, g, n_in)
         # dL/dw[e] = x[src[e]] · g[dst[e]]
         gw = jnp.sum(x_[src] * g[dst], axis=-1)
         return gw, gx

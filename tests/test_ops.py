@@ -246,3 +246,16 @@ def test_pallas_graph_vjp_matches_plain_graph():
     ga = np.asarray(jax.grad(lambda x_: jnp.sum(spmm(g1, x_) * cot))(x))
     gb = np.asarray(jax.grad(lambda x_: jnp.sum(spmm(g2, x_) * cot))(x))
     np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_chunked_matches_unchunked():
+    from recbole_gnn_tpu.ops.spmm import _spmm_coo_chunked, spmm_coo
+    rng = np.random.default_rng(13)
+    src, dst, w, n = random_graph(rng, n=40, e=333)
+    order = np.argsort(dst, kind="stable")
+    src, dst, w = (jnp.asarray(src[order]), jnp.asarray(dst[order]),
+                   jnp.asarray(w[order], jnp.float32))
+    x = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+    want = np.asarray(spmm_coo(src, dst, w, x, n))
+    got = np.asarray(_spmm_coo_chunked(src, dst, w, x, n, True, chunk=50))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
