@@ -21,6 +21,7 @@ import numpy as np
 from recbole_gnn_tpu.models.base import BaseRecommender
 from recbole_gnn_tpu.models.init import xavier_uniform
 from recbole_gnn_tpu.models.losses import reg_loss_l2
+from recbole_gnn_tpu.ops.spmm import build_graph, spmm
 from recbole_gnn_tpu.ops.svd import randomized_svd_sparse
 from recbole_gnn_tpu.utils.enums import ModelType, InputType
 
@@ -44,9 +45,19 @@ class LightGCL(BaseRecommender):
         row_deg = np.bincount(users, minlength=self.n_users).astype(np.float64)
         col_deg = np.bincount(items, minlength=self.n_items).astype(np.float64)
         w = 1.0 / np.sqrt(np.maximum(row_deg[users] * col_deg[items], 1e-12))
-        a = np.zeros((self.n_users, self.n_items), dtype=np.float32)
-        np.add.at(a, (users, items), w.astype(np.float32))
-        self.consts["adj"] = jnp.asarray(a)
+        max_entries = int(config["dense_graph_max_entries"] or 3e8)
+        self._dense = (config["enable_sparse"] is not True
+                       and self.n_users * self.n_items <= max_entries)
+        if self._dense:
+            a = np.zeros((self.n_users, self.n_items), dtype=np.float32)
+            np.add.at(a, (users, items), w.astype(np.float32))
+            self.consts["adj"] = jnp.asarray(a)
+        else:
+            # web-scale catalogs: rectangular COO both directions
+            self.consts["adj_ui"] = build_graph(
+                items, users, w, self.n_users, n_src_nodes=self.n_items)
+            self.consts["adj_iu"] = build_graph(
+                users, items, w, self.n_items, n_src_nodes=self.n_users)
 
         # rank-q randomized SVD of the normalized adjacency (init-time)
         svd_u, s, svd_v = randomized_svd_sparse(
@@ -66,17 +77,38 @@ class LightGCL(BaseRecommender):
         }
 
     def _forward_lists(self, params, consts, rng, train: bool):
-        a = consts["adj"]
         e_u, e_i = params["user_emb"], params["item_emb"]
         e_u_list, e_i_list = [e_u], [e_i]
         for _ in range(self.n_layers):
-            a_l = a
-            if train and self.dropout > 0:
-                rng, k = jax.random.split(rng)
-                keep = jax.random.bernoulli(k, 1.0 - self.dropout, a.shape)
-                a_l = jnp.where(keep, a / (1.0 - self.dropout), 0.0)
-            z_u = jnp.dot(a_l, e_i_list[-1], preferred_element_type=jnp.float32)
-            z_i = jnp.dot(a_l.T, e_u_list[-1], preferred_element_type=jnp.float32)
+            if self._dense:
+                a_l = consts["adj"]
+                if train and self.dropout > 0:
+                    rng, k = jax.random.split(rng)
+                    keep = jax.random.bernoulli(
+                        k, 1.0 - self.dropout, a_l.shape)
+                    a_l = jnp.where(keep, a_l / (1.0 - self.dropout), 0.0)
+                z_u = jnp.dot(a_l, e_i_list[-1],
+                              preferred_element_type=jnp.float32)
+                z_i = jnp.dot(a_l.T, e_u_list[-1],
+                              preferred_element_type=jnp.float32)
+            else:
+                g_ui, g_iu = consts["adj_ui"], consts["adj_iu"]
+                if train and self.dropout > 0:
+                    # F.dropout-on-values semantics: per-nnz keep + scale,
+                    # independent per direction (the reference calls
+                    # sparse_dropout separately for each spmm, :131-136)
+                    rng, k1 = jax.random.split(rng)
+                    rng, k2 = jax.random.split(rng)
+                    keep1 = jax.random.bernoulli(
+                        k1, 1.0 - self.dropout, g_ui.weight.shape)
+                    keep2 = jax.random.bernoulli(
+                        k2, 1.0 - self.dropout, g_iu.weight.shape)
+                    g_ui = g_ui.with_weight(
+                        g_ui.weight * keep1 / (1.0 - self.dropout))
+                    g_iu = g_iu.with_weight(
+                        g_iu.weight * keep2 / (1.0 - self.dropout))
+                z_u = spmm(g_ui, e_i_list[-1])
+                z_i = spmm(g_iu, e_u_list[-1])
             e_u_list.append(z_u)
             e_i_list.append(z_i)
         return e_u_list, e_i_list

@@ -99,3 +99,32 @@ def test_lightgcl():
 
 def test_lightgcl_dropout():
     quick_test({"model": "LightGCL", "dropout": 0.2})
+
+
+def test_lightgcl_sparse_branch():
+    quick_test({"model": "LightGCL", "enable_sparse": True, "dropout": 0.2})
+
+
+def test_lightgcl_sparse_matches_dense_forward():
+    """Dense vs sparse LightGCL propagation must agree."""
+    import jax
+    import jax.numpy as jnp
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    from recbole_gnn_tpu.models import get_model
+
+    cfg_d = Config(config_dict=base_config_dict(model="LightGCL"))
+    ds = create_dataset(cfg_d)
+    (_, tr_ds), _, _ = data_preparation(cfg_d, ds)
+    m_d = get_model("LightGCL")(cfg_d, tr_ds)
+    cfg_s = Config(config_dict=base_config_dict(model="LightGCL",
+                                                enable_sparse=True))
+    m_s = get_model("LightGCL")(cfg_s, tr_ds)
+    params = m_d.init_params(jax.random.PRNGKey(0))
+    ud, idn = m_d.propagate(params, m_d.consts, {})
+    us, isp = m_s.propagate(params, m_s.consts, {})
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(ud), np.asarray(us),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(idn), np.asarray(isp),
+                               rtol=2e-4, atol=2e-4)
