@@ -209,7 +209,11 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
     rsrc, rdst, reid = graph.rev_src, graph.rev_dst, graph.rev_edge_id
     n_out, n_in = graph.n_nodes, graph.n_src_nodes
     bp, rbp = graph.block_ptr, graph.rev_block_ptr
-    use_pallas = bp is not None and _pallas_available()
+    # the pallas kernel pre-materializes the lane-padded message stream;
+    # beyond the budget fall back to the edge-chunked XLA path
+    dpad = -(-x.shape[1] // 128) * 128
+    use_pallas = (bp is not None and _pallas_available()
+                  and graph.src.shape[0] * dpad * 4 <= MSGS_BYTES_BUDGET)
 
     @jax.custom_vjp
     def _f(w, x_):
