@@ -171,17 +171,22 @@ def _spmm_coo_chunked(src, dst, weight, x, n_out, indices_are_sorted,
                       chunk: int | None = None):
     """Edge-chunked accumulation: Σ_g segment_sum over chunk g (exact —
     partial segment sums add).  Pads the edge arrays with weight-0
-    self-edges to a chunk multiple."""
+    edges onto the LAST node: dst stays non-decreasing, so the
+    ``indices_are_sorted`` hint passed to segment_sum remains truthful
+    (a false hint on the XLA scatter is implementation-defined on TPU)."""
     e = src.shape[0]
     d = x.shape[1]
     if chunk is None:
-        chunk = max(1, MSGS_BYTES_BUDGET // (8 * d * 4))  # /2 for in+out
+        # budget / (2·d·4): the in-flight gathered chunk plus the same
+        # volume of segment-sum intermediate
+        chunk = max(1, MSGS_BYTES_BUDGET // (2 * d * 4))
         chunk = min(e, chunk)
     n_chunks = -(-e // chunk)
     pad = n_chunks * chunk - e
     if pad:
         src = jnp.concatenate([src, jnp.zeros((pad,), src.dtype)])
-        dst = jnp.concatenate([dst, jnp.zeros((pad,), dst.dtype)])
+        dst = jnp.concatenate(
+            [dst, jnp.full((pad,), n_out - 1, dst.dtype)])
         weight = jnp.concatenate(
             [weight, jnp.zeros((pad,), weight.dtype)])
 

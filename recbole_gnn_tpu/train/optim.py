@@ -2,7 +2,10 @@
 
 Supports the [recbole] ``learner`` config values the reference trains
 with (adam default; sgd/adagrad/rmsprop accepted), plus global-norm
-gradient clipping (``clip_grad_norm``) and decoupled weight decay.
+gradient clipping (``clip_grad_norm``) and L2 weight decay added to the
+gradients *before* the moment updates — i.e. coupled torch.optim.Adam
+semantics, matching what the reference actually runs (NOT decoupled
+AdamW; keep it this way for parity).
 """
 
 from __future__ import annotations

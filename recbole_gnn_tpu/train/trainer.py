@@ -68,6 +68,12 @@ class Trainer:
         self.jsonl = JsonlSink(config["metrics_log_path"])
         self._profile_dir = config["profile_trace_dir"]
         self._tb = None
+        # trained/restored state; populated by fit() or
+        # resume_from_checkpoint() — evaluate() checks for None
+        self.params = None
+        self.extras = None
+        self.opt_state = None
+        self._resume_epoch = None
         if config["tensorboard_dir"]:
             # optional TB scalars ([recbole] trainer parity); the writer
             # comes from torch (baked in), used lazily and best-effort
@@ -145,14 +151,34 @@ class Trainer:
     # -- training loop --------------------------------------------------
 
     def fit(self, train_loader, valid_loader=None, saved: bool = True,
-            verbose: bool = True, callback=None):
+            verbose: bool = True, callback=None, resume: bool = False):
+        """Train.  With ``resume=True`` (or after an explicit
+        ``resume_from_checkpoint()`` call) training continues from the
+        restored params/opt-state/extras at the checkpointed epoch + 1;
+        the per-epoch PRNG (fold_in by absolute epoch) and the loader's
+        shuffle stream are realigned, so a resumed run is bit-identical
+        to an uninterrupted one."""
         cfg = self.config
         seed = int(cfg["seed"] or 2020)
         root = jax.random.PRNGKey(seed)
         k_init, k_extras, k_train = jax.random.split(root, 3)
-        params = self.model.init_params(k_init)
-        extras = self.model.init_extras(k_extras)
-        opt_state = self.optimizer.init(params)
+        start_epoch = 0
+        if resume and self._resume_epoch is None:
+            self.resume_from_checkpoint()
+        if self._resume_epoch is not None:
+            params, extras = self.params, self.extras
+            opt_state = (self.opt_state if self.opt_state is not None
+                         else self.optimizer.init(params))
+            start_epoch = self._resume_epoch + 1
+            # realign the loader's per-epoch numpy shuffle/neg-sample
+            # stream with where the uninterrupted run would be
+            if hasattr(train_loader, "epoch"):
+                train_loader.epoch = start_epoch
+            self._resume_epoch = None
+        else:
+            params = self.model.init_params(k_init)
+            extras = self.model.init_extras(k_extras)
+            opt_state = self.optimizer.init(params)
         consts = self.model.consts
         if self._mesh is not None:
             # mesh mode: row-sharded embedding tables + dp batch sharding
@@ -165,7 +191,7 @@ class Trainer:
         best_epoch = -1
         cur_step = 0
 
-        for epoch in range(self.epochs):
+        for epoch in range(start_epoch, self.epochs):
             ek = jax.random.fold_in(k_train, epoch)
             extras = self.model.epoch_start(epoch, params, consts, extras, ek)
             mode = self._loss_mode(epoch)
@@ -277,6 +303,12 @@ class Trainer:
                 state = load_checkpoint(self.saved_model_file)
                 params, extras = state["params"], state.get("extras", {})
             else:
+                if self.params is None:
+                    raise RuntimeError(
+                        "Trainer.evaluate() called before fit() with no "
+                        f"checkpoint at {self.saved_model_file!r}: train "
+                        "first, call resume_from_checkpoint(), or pass "
+                        "params= explicitly")
                 params, extras = self.params, self.extras
         return self.evaluator.evaluate(params, extras or {}, eval_loader,
                                        mode=_eval_mode(self.config))
@@ -291,12 +323,15 @@ class Trainer:
 
     def resume_from_checkpoint(self, path: str | None = None):
         """Restore params/opt/extras for continued training (preemption
-        recovery — SURVEY.md §5 failure-detection tier)."""
+        recovery — SURVEY.md §5 failure-detection tier).  A subsequent
+        ``fit()`` continues from the checkpointed epoch + 1."""
         state = load_checkpoint(path or self.saved_model_file)
         self.params = state["params"]
         self.extras = state.get("extras", {})
         self.opt_state = state.get("opt_state")
-        return int(state.get("epoch", -1))
+        epoch = int(state.get("epoch", -1))
+        self._resume_epoch = epoch
+        return epoch
 
 
 def _eval_mode(config) -> str:

@@ -65,6 +65,61 @@ def test_resume_from_checkpoint(tmp_path):
         np.asarray(trainer.params["user_emb"]))
 
 
+def test_resume_into_fit_bit_matches_straight_run(tmp_path):
+    """Preemption recovery: train 2 epochs + checkpoint, then resume and
+    train 2 more — params must bit-match an uninterrupted 4-epoch run
+    (the per-epoch fold_in schedule and loader shuffle stream realign)."""
+    from recbole_gnn_tpu.quick_start import (
+        create_dataset, data_preparation)
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.train.trainer import Trainer
+
+    def make(epochs, ckdir):
+        cfg = Config(config_dict=base_config_dict(
+            model="LightGCN", epochs=epochs, checkpoint_dir=ckdir))
+        ds = create_dataset(cfg)
+        (tl, tr_ds), _, _ = data_preparation(cfg, ds)
+        model = get_model("LightGCN")(cfg, tr_ds)
+        return cfg, tl, model
+
+    # uninterrupted 4-epoch run
+    _, tl, model = make(4, str(tmp_path / "a"))
+    cfg4 = Config(config_dict=base_config_dict(
+        model="LightGCN", epochs=4, checkpoint_dir=str(tmp_path / "a")))
+    straight = Trainer(cfg4, model)
+    straight.fit(tl, saved=False, verbose=False)
+
+    # interrupted: 2 epochs, checkpoint, new trainer resumes 2 more
+    cfg2, tl2, model2 = make(2, str(tmp_path / "b"))
+    t1 = Trainer(cfg2, model2)
+    t1.fit(tl2, saved=True, verbose=False)
+    cfg4b = Config(config_dict=base_config_dict(
+        model="LightGCN", epochs=4, checkpoint_dir=str(tmp_path / "b")))
+    _, tl3, _ = make(4, str(tmp_path / "b"))
+    t2 = Trainer(cfg4b, model2)
+    t2.fit(tl3, saved=False, verbose=False, resume=True)
+
+    for k in straight.params:
+        np.testing.assert_array_equal(np.asarray(straight.params[k]),
+                                      np.asarray(t2.params[k]), err_msg=k)
+
+
+def test_evaluate_before_fit_raises(tmp_path):
+    from recbole_gnn_tpu.quick_start import (
+        create_dataset, data_preparation)
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.train.trainer import Trainer
+
+    cfg = Config(config_dict=base_config_dict(
+        model="BPR", checkpoint_dir=str(tmp_path / "empty")))
+    ds = create_dataset(cfg)
+    _, (vl, _), _ = data_preparation(cfg, ds)
+    model = get_model("BPR")(cfg, ds)
+    trainer = Trainer(cfg, model)
+    with pytest.raises(RuntimeError, match="before fit"):
+        trainer.evaluate(vl)
+
+
 def test_hyper_tuning_grid(tmp_path):
     from recbole_gnn_tpu.hyper import HyperTuning
 
