@@ -18,7 +18,13 @@ from typing import Iterator
 
 import numpy as np
 
-from recbole_gnn_tpu.data.sampler import UniformNegativeSampler
+from recbole_gnn_tpu.data.sampler import (
+    PopularityNegativeSampler, UniformNegativeSampler)
+
+
+def _eval_sampler_cls(distribution: str):
+    return (PopularityNegativeSampler if distribution == "pop"
+            else UniformNegativeSampler)
 
 
 Batch = dict[str, np.ndarray]
@@ -38,6 +44,27 @@ def _pad_batch(arrays: Batch, batch_size: int) -> Batch:
         out[k] = v
     out["weight"] = w
     return out
+
+
+def _padded_user_rows(users: np.ndarray, items: np.ndarray,
+                      row_of: np.ndarray, n_rows: int,
+                      min_width: int = 1
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """(mat, counts): per eval-row padded item lists, fully vectorized
+    (searchsorted/bincount style — no per-user Python; at 100k+ users
+    the dict/loop version costs minutes of host time per eval)."""
+    sel = row_of[users] >= 0
+    users, items = users[sel], items[sel]
+    rows = row_of[users]
+    order = np.argsort(rows, kind="stable")
+    rows, items = rows[order], items[order]
+    bounds = np.searchsorted(rows, np.arange(n_rows + 1))
+    cnt = np.diff(bounds)
+    width = max(int(cnt.max(initial=0)), min_width)
+    mat = np.zeros((n_rows, width), dtype=np.int64)
+    col = np.arange(len(rows)) - np.repeat(bounds[:-1], cnt)
+    mat[rows, col] = items
+    return mat, cnt.astype(np.int64)
 
 
 class TrainLoader:
@@ -83,20 +110,22 @@ class FullSortEvalLoader:
     def __init__(self, eval_dataset, history_datasets, config):
         self.n_items = eval_dataset.n_items
         self.batch_size = max(1, int(config["eval_batch_size"] or 4096))
-        pos_hist = eval_dataset.history_matrix()
-        self.eval_users = np.array(sorted(pos_hist.keys()), dtype=np.int64)
-        hist: dict[int, list[np.ndarray]] = {u: [] for u in self.eval_users}
+        n_users = eval_dataset.n_users
+        e_users, e_items = eval_dataset.user_item_arrays()
+        self.eval_users = np.unique(e_users).astype(np.int64)
+        row_of = np.full(n_users, -1, dtype=np.int64)
+        row_of[self.eval_users] = np.arange(len(self.eval_users))
+        self.pos_mat, self.pos_cnt = _padded_user_rows(
+            e_users, e_items, row_of, len(self.eval_users))
+        h_users = [np.zeros(0, np.int64)]
+        h_items = [np.zeros(0, np.int64)]
         for ds in history_datasets:
-            h = ds.history_matrix()
-            for u in self.eval_users:
-                if u in h:
-                    hist[u].append(h[u])
-        self.pos = {u: pos_hist[u] for u in self.eval_users}
-        self.hist = {u: (np.concatenate(v) if v else np.array([], dtype=np.int64))
-                     for u, v in hist.items()}
-        self.max_pos = max((len(v) for v in self.pos.values()), default=1)
-        self.max_hist = max((len(v) for v in self.hist.values()), default=1)
-        self.max_hist = max(self.max_hist, 1)
+            u, i = ds.user_item_arrays()
+            h_users.append(np.asarray(u, np.int64))
+            h_items.append(np.asarray(i, np.int64))
+        self.hist_mat, self.hist_cnt = _padded_user_rows(
+            np.concatenate(h_users), np.concatenate(h_items),
+            row_of, len(self.eval_users))
 
     def __len__(self):
         return -(-len(self.eval_users) // self.batch_size)
@@ -104,19 +133,12 @@ class FullSortEvalLoader:
     def __iter__(self) -> Iterator[Batch]:
         B = self.batch_size
         for lo in range(0, len(self.eval_users), B):
-            users = self.eval_users[lo:lo + B]
-            n = len(users)
-            pos = np.zeros((n, self.max_pos), dtype=np.int64)
-            pos_len = np.zeros(n, dtype=np.int64)
-            hist = np.zeros((n, self.max_hist), dtype=np.int64)
-            for r, u in enumerate(users):
-                p, h = self.pos[u], self.hist[u]
-                pos[r, :len(p)] = p
-                pos_len[r] = len(p)
-                hist[r, :len(h)] = h
+            sl = slice(lo, lo + B)
             yield _pad_batch(
-                {"user_id": users, "pos_items": pos, "pos_len": pos_len,
-                 "history_items": hist}, B)
+                {"user_id": self.eval_users[sl],
+                 "pos_items": self.pos_mat[sl],
+                 "pos_len": self.pos_cnt[sl],
+                 "history_items": self.hist_mat[sl]}, B)
 
 
 class NegSampleEvalLoader:
@@ -125,24 +147,29 @@ class NegSampleEvalLoader:
     that list (reference: CustomizedNegSampleEvalDataLoader,
     dataloader.py:22-52)."""
 
-    def __init__(self, eval_dataset, history_datasets, config, sample_num: int):
+    def __init__(self, eval_dataset, history_datasets, config,
+                 sample_num: int, distribution: str = "uni"):
         self.n_items = eval_dataset.n_items
         self.sample_num = sample_num
         self.batch_size = max(1, int(config["eval_batch_size"] or 4096))
         self.seed = int(config["seed"] or 2020)
-        pos_hist = eval_dataset.history_matrix()
-        self.eval_users = np.array(sorted(pos_hist.keys()), dtype=np.int64)
-        self.pos = pos_hist
+        n_users = eval_dataset.n_users
+        e_users, e_items = eval_dataset.user_item_arrays()
+        self.eval_users = np.unique(e_users).astype(np.int64)
+        row_of = np.full(n_users, -1, dtype=np.int64)
+        row_of[self.eval_users] = np.arange(len(self.eval_users))
+        self.pos_mat, self.pos_cnt = _padded_user_rows(
+            e_users, e_items, row_of, len(self.eval_users))
         # used set for sampling: all phases up to and incl. this one
         users_all, items_all = [], []
         for ds in list(history_datasets) + [eval_dataset]:
             u, i = ds.user_item_arrays()
             users_all.append(u)
             items_all.append(i)
-        self.sampler = UniformNegativeSampler(
+        self.sampler = _eval_sampler_cls(distribution)(
             np.concatenate(users_all), np.concatenate(items_all),
             eval_dataset.n_users, eval_dataset.n_items)
-        self.max_pos = max((len(v) for v in self.pos.values()), default=1)
+        self.max_pos = self.pos_mat.shape[1]
         self.n_cand = self.max_pos * (1 + sample_num)
 
     def __len__(self):
@@ -152,21 +179,30 @@ class NegSampleEvalLoader:
         rng = np.random.default_rng((self.seed, 77))
         B = self.batch_size
         for lo in range(0, len(self.eval_users), B):
-            users = self.eval_users[lo:lo + B]
+            sl = slice(lo, lo + B)
+            users = self.eval_users[sl]
             n = len(users)
+            pos = self.pos_mat[sl]
+            pos_len = self.pos_cnt[sl]
+            # one flat draw for every (user, positive) pair in the
+            # batch, then scattered into candidate rows (no per-user
+            # Python loop; same per-pair sampler semantics)
+            flat_users = np.repeat(users, pos_len)
+            negs = self.sampler.sample(
+                flat_users, self.sample_num, rng)          # (pairs, N)
             cand = np.zeros((n, self.n_cand), dtype=np.int64)
-            cand_len = np.zeros(n, dtype=np.int64)
-            pos = np.zeros((n, self.max_pos), dtype=np.int64)
-            pos_len = np.zeros(n, dtype=np.int64)
-            for r, u in enumerate(users):
-                p = self.pos[u]
-                negs = self.sampler.sample(
-                    np.repeat(u, len(p)), self.sample_num, rng).reshape(-1)
-                c = np.concatenate([p, negs])
-                cand[r, :len(c)] = c
-                cand_len[r] = len(c)
-                pos[r, :len(p)] = p
-                pos_len[r] = len(p)
+            cand_len = pos_len * (1 + self.sample_num)
+            rows_cols = np.arange(self.max_pos)[None, :]
+            valid = rows_cols < pos_len[:, None]
+            cand[:, :self.max_pos][valid] = pos[valid]
+            # negatives start after each row's positives
+            pair_row = np.repeat(np.arange(n), pos_len)
+            within = (np.arange(len(flat_users))
+                      - np.repeat(np.cumsum(pos_len) - pos_len, pos_len))
+            ncols = (pos_len[pair_row][:, None]
+                     + within[:, None] * self.sample_num
+                     + np.arange(self.sample_num)[None, :])
+            cand[pair_row[:, None], ncols] = negs
             yield _pad_batch(
                 {"user_id": users, "candidates": cand, "cand_len": cand_len,
                  "pos_items": pos, "pos_len": pos_len}, B)
@@ -251,7 +287,8 @@ class SequentialFullSortEvalLoader:
 class SequentialNegSampleEvalLoader:
     """uniN eval for sequential: target + N sampled negatives per row."""
 
-    def __init__(self, dataset, history_datasets, config, sample_num: int):
+    def __init__(self, dataset, history_datasets, config,
+                 sample_num: int, distribution: str = "uni"):
         self.dataset = dataset
         self.n = dataset.inter_num
         self.sample_num = sample_num
@@ -262,7 +299,7 @@ class SequentialNegSampleEvalLoader:
             u, i = ds.user_item_arrays()
             users_all.append(u)
             items_all.append(i)
-        self.sampler = UniformNegativeSampler(
+        self.sampler = _eval_sampler_cls(distribution)(
             np.concatenate(users_all), np.concatenate(items_all),
             dataset.n_users, dataset.n_items)
 

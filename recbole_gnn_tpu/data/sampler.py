@@ -32,6 +32,9 @@ class UniformNegativeSampler:
         return self.used_keys[pos] == keys if len(self.used_keys) else \
             np.zeros(len(keys), dtype=bool)
 
+    def _draw(self, size: int, rng: np.random.Generator) -> np.ndarray:
+        return rng.integers(1, self.n_items, size=size, dtype=np.int64)
+
     def sample(self, users: np.ndarray, num: int,
                rng: np.random.Generator, max_tries: int = 100) -> np.ndarray:
         """(len(users), num) negatives ∈ [1, n_items) avoiding used pairs.
@@ -39,13 +42,26 @@ class UniformNegativeSampler:
         After ``max_tries`` redraw rounds, remaining collisions are kept
         (matches RecBole's bounded-retry behavior for dense users)."""
         flat_users = np.repeat(users, num)
-        cand = rng.integers(1, self.n_items, size=len(flat_users), dtype=np.int64)
+        cand = self._draw(len(flat_users), rng)
         bad = self._is_used(flat_users, cand)
         tries = 0
         while bad.any() and tries < max_tries:
-            redraw = rng.integers(1, self.n_items, size=int(bad.sum()),
-                                  dtype=np.int64)
-            cand[bad] = redraw
+            cand[bad] = self._draw(int(bad.sum()), rng)
             bad = self._is_used(flat_users, cand)
             tries += 1
         return cand.reshape(len(users), num)
+
+
+class PopularityNegativeSampler(UniformNegativeSampler):
+    """Negatives drawn ∝ interaction frequency — the [recbole]
+    'popularity' distribution backing the ``popN`` eval mode: each draw
+    picks a uniformly random *interaction* and takes its item, so an
+    item's probability is proportional to its count."""
+
+    def __init__(self, users: np.ndarray, items: np.ndarray,
+                 n_users: int, n_items: int):
+        super().__init__(users, items, n_users, n_items)
+        self.pool = np.asarray(items, dtype=np.int64)
+
+    def _draw(self, size: int, rng: np.random.Generator) -> np.ndarray:
+        return self.pool[rng.integers(0, len(self.pool), size=size)]

@@ -1,32 +1,51 @@
-"""Pallas TPU kernel: sorted-segment-sum SpMM over padded CSR blocks.
+"""Pallas TPU kernel: streaming sorted-segment-sum SpMM.
 
-The sparse-path hot kernel (SURVEY.md §7.3 "SpMM speed-of-light").
-XLA lowers segment-sum to a serial scatter on TPU (~22 GB/s measured);
-this kernel exploits the dst-sorted edge layout instead:
+The sparse-path hot kernel (SURVEY.md §7.3 "SpMM speed-of-light"),
+TPU-native replacement for torch_sparse CUDA SpMM (reference:
+recbole_gnn/model/layers.py:19-20).  XLA lowers segment-sum to a serial
+scatter on TPU (~22 GB/s measured); this kernel exploits the dst-sorted
+edge layout instead:
 
   grid      = one program per block of BM destination rows
-  edges     = the EC-aligned absolute chunks overlapping the block's
-              edge range (host-built block_ptr, scalar-prefetched),
-              streamed with double-buffered DMA
-  reduction = ONE transposed-one-hot (BM, EC) @ (EC, D) MXU matmul per
-              chunk/pass into a VMEM accumulator — no scatter anywhere
+  edges     = the EC-aligned chunks overlapping the block's edge range
+              (host-built block pointers, scalar-prefetched), streamed
+              with double-buffered DMA
+  reduction = transposed-one-hot (BM, EC) @ (EC, D) MXU matmuls into a
+              VMEM accumulator — no scatter anywhere
 
 Edges of neighboring blocks inside boundary chunks mask themselves:
 their dst_local falls outside [0, BM) so the one-hot row is zero.
-msgs (= x[src]·w) are gathered by XLA outside the kernel (XLA's gather
-is fine; its scatter is not).
+
+**Streaming (no scale cliff).**  The gathered message stream
+(msgs = x[src]·w) would be E×dpad×4 bytes if materialized whole — 6 GB
+at gowalla scale, which is what disqualified the round-1 kernel.  The
+edge list is instead split host-side into equal segments of ≤ SEG_MAX
+edges; an XLA `lax.scan` gathers one segment's messages at a time
+(bounded HBM) and the kernel *accumulates* the segment's partial sums
+into the output in place (``input_output_aliases``).  Partial segment
+sums add exactly, and the TPU grid is sequential, so no atomics are
+needed.  A destination block split across segments is finished over
+multiple scan steps; programs whose block has no edges in the current
+segment pass the running value through.
 
 Layout notes: per-matmul issue overhead dominates at small K, so each
-chunk contracts in a single K=EC matmul; Mosaic cannot reshape
-sublanes into lanes, so the HBM operands are laid out chunk-major —
-msgs (E/EC, EC, D), dst (E/EC, 1, EC) — and every DMA slice lands
+chunk contracts in a single K=EC matmul; Mosaic cannot reshape sublanes
+into lanes, so the HBM operands are laid out chunk-major — msgs
+(seg/EC, EC, D), dst (seg/EC, 1, EC) — and every DMA slice lands
 tile-aligned with no in-kernel reshapes.  Feature dim padded to 128
 lanes.
+
+Precision: under "f32x2" (default) messages are split hi/lo and
+reduced with two bf16 MXU passes (the one-hot is exact in bf16) —
+f32-exact accumulation at bf16 MXU rate.  "bf16" streams bf16 messages
+in a single pass — half the HBM traffic and half the matmul work, ~3
+significant decimal digits.
 """
 
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -34,34 +53,132 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BM = 64       # destination rows per program
-EC = 2048    # edges per DMA chunk
-SL = 128      # sublane grouping of the edge axis
-ROWS = EC // SL
+BM = 256           # destination rows per program
+EC = 512           # edges per DMA chunk
+SEG_MAX = 1 << 20  # max edges gathered per streamed segment
 
 
-def build_block_ptr(dst_sorted: np.ndarray, n_nodes: int,
-                    bm: int | None = None) -> np.ndarray:
-    """block_ptr[i] = first edge index with dst >= i·bm (host-side,
-    once per graph); length n_blocks+1."""
-    if bm is None:
-        bm = BM          # read the module global at call time
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PallasMeta:
+    """Per-direction segment/block metadata for the streaming kernel.
+
+    Built once on host (build_pallas_meta); rides the Graph pytree.
+
+    Attributes:
+      bptr: (n_seg, max_blk+1) int32 — per segment, edge offsets
+        *within the segment* of each touched destination block
+        (clipped to [0, seg]); blocks beyond the segment's range
+        degenerate to start == end (pass-through programs).
+      blk_lo: (n_seg, 1) int32 — first destination block each segment
+        touches (scalar-prefetched; offsets the out index_map).
+      bm / ec / seg: static tile sizes the layout was built with.
+      n_blocks: static — total destination blocks (out rows = n_blocks·bm).
+    """
+
+    bptr: jax.Array
+    blk_lo: jax.Array
+    bm: int
+    ec: int
+    seg: int
+    n_blocks: int
+
+    def tree_flatten(self):
+        return ((self.bptr, self.blk_lo),
+                (self.bm, self.ec, self.seg, self.n_blocks))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+    @property
+    def n_seg(self) -> int:
+        return self.bptr.shape[0]
+
+    @property
+    def max_blk(self) -> int:
+        return self.bptr.shape[1] - 1
+
+
+def segment_layout(e: int, ec: int | None = None,
+                   seg_max: int | None = None) -> tuple[int, int]:
+    """(n_seg, seg): smallest equal-size ec-aligned segmentation of an
+    edge list of length e with seg <= seg_max (up to ec rounding)."""
+    ec = ec or EC
+    seg_max = seg_max or SEG_MAX
+    e_ec = -(-max(e, 1) // ec) * ec
+    n_seg = -(-e_ec // seg_max)
+    seg = -(-e_ec // (n_seg * ec)) * ec
+    return n_seg, seg
+
+
+def pad_edges(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
+              n_nodes: int, ec: int | None = None,
+              seg_max: int | None = None
+              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sort by dst and pad to the segment layout with weight-0 edges on
+    the last destination row (keeps dst non-decreasing; src 0 is always
+    a valid gather row even for rectangular graphs)."""
+    order = np.argsort(dst, kind="stable")
+    src, dst, weight = src[order], dst[order], weight[order]
+    n_seg, seg = segment_layout(len(src), ec, seg_max)
+    e_pad = n_seg * seg
+    if e_pad > len(src):
+        pad = e_pad - len(src)
+        src = np.concatenate([src, np.zeros(pad, src.dtype)])
+        dst = np.concatenate([dst, np.full(pad, n_nodes - 1, dst.dtype)])
+        weight = np.concatenate([weight, np.zeros(pad, weight.dtype)])
+    return (src.astype(np.int32), dst.astype(np.int32),
+            weight.astype(np.float32))
+
+
+def build_pallas_meta(dst_sorted: np.ndarray, n_nodes: int,
+                      bm: int | None = None, ec: int | None = None,
+                      seg_max: int | None = None) -> PallasMeta:
+    """Host-side metadata; dst_sorted must already be padded to the
+    segment layout (pad_edges)."""
+    bm = bm or BM
+    ec = ec or EC
+    e = len(dst_sorted)
+    n_seg, seg = segment_layout(e, ec, seg_max)
+    assert n_seg * seg == e, "pad the edge list first (pad_edges)"
     n_blocks = -(-n_nodes // bm)
     bounds = np.arange(n_blocks + 1) * bm
-    return np.searchsorted(dst_sorted, bounds).astype(np.int32)
+    gptr = np.searchsorted(dst_sorted, bounds).astype(np.int64)
+    seg_starts = np.arange(n_seg) * seg
+    blk_lo = dst_sorted[seg_starts] // bm
+    blk_hi = dst_sorted[seg_starts + seg - 1] // bm + 1
+    max_blk = int((blk_hi - blk_lo).max())
+    j = np.arange(max_blk + 1)
+    idx = np.minimum(blk_lo[:, None] + j[None, :], n_blocks)
+    bptr = np.clip(gptr[idx] - seg_starts[:, None], 0, seg)
+    return PallasMeta(jnp.asarray(bptr.astype(np.int32)),
+                      jnp.asarray(blk_lo[:, None].astype(np.int32)),
+                      bm, ec, seg, n_blocks)
 
 
-def _spmm_kernel(block_ptr_ref, dst_ref, msgs_ref, out_ref,
+def prepare_pallas_graph(src: np.ndarray, dst: np.ndarray,
+                         weight: np.ndarray, n_nodes: int
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                    PallasMeta]:
+    """Host prep: dst-sort + pad + build streaming metadata."""
+    src, dst, weight = pad_edges(src, dst, weight, n_nodes)
+    meta = build_pallas_meta(dst, n_nodes)
+    return src, dst, weight, meta
+
+
+def _spmm_kernel(bm, ec, two_pass, blk_lo_ref, bptr_ref,
+                 dst_ref, msgs_ref, prev_ref, out_ref,
                  acc_ref, chunk_buf, dst_buf, sems, dst_sems):
     i = pl.program_id(0)
-    start = block_ptr_ref[i]
-    end = block_ptr_ref[i + 1]
-    block_base = i * BM
-    # absolute EC-aligned chunk range overlapping [start, end)
-    c0 = start // EC
-    n_chunks = jnp.where(end > start, (end - 1) // EC - c0 + 1, 0)
+    start = bptr_ref[i]
+    end = bptr_ref[i + 1]
+    block_base = (blk_lo_ref[0] + i) * bm
+    c0 = start // ec
+    n_chunks = jnp.where(end > start, (end - 1) // ec - c0 + 1, 0)
 
-    acc_ref[:] = jnp.zeros_like(acc_ref)
+    # accumulate this segment's contribution on top of the running out
+    acc_ref[:] = prev_ref[:]
 
     def get_dma(slot, chunk_idx):
         c = c0 + chunk_idx
@@ -93,15 +210,17 @@ def _spmm_kernel(block_ptr_ref, dst_ref, msgs_ref, out_ref,
             # matmul per pass.  Out-of-block edges vanish (their
             # dst_local is outside [0, BM)).
             dst_row = dst_buf[slot]                     # (1, EC)
-            oh = (jax.lax.broadcasted_iota(jnp.int32, (BM, EC), 0)
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (bm, ec), 0)
                   == (dst_row - block_base)).astype(jnp.bfloat16)
             m = chunk_buf[slot]                         # (EC, dpad)
-            # one-hot is exact in bf16 → 2-pass hi/lo split of the f32
-            # messages gives f32-exact accumulation at bf16 MXU rate
-            hi = m.astype(jnp.bfloat16)
-            lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             total = acc_ref[:]
-            for part in (hi, lo):
+            if two_pass:
+                hi = m.astype(jnp.bfloat16)
+                lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                parts = (hi, lo)
+            else:
+                parts = (m,)                            # bf16 stream
+            for part in parts:
                 total = total + jax.lax.dot_general(
                     oh, part,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -114,84 +233,78 @@ def _spmm_kernel(block_ptr_ref, dst_ref, msgs_ref, out_ref,
     out_ref[:] = acc_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("n_nodes", "interpret"))
-def _pallas_segment_sum(msgs: jax.Array, dst: jax.Array,
-                        block_ptr: jax.Array, n_nodes: int,
-                        interpret: bool = False) -> jax.Array:
-    e, d = msgs.shape
-    assert e % EC == 0, "edge count must be padded to a multiple of EC"
-    dpad = -(-d // 128) * 128
-    if dpad != d:
-        # feature dim must be lane-aligned; callers avoid this copy by
-        # padding x before the gather (see pallas_spmm)
-        msgs = jnp.pad(msgs, ((0, 0), (0, dpad - d)))
-    msgs3 = msgs.reshape(e // EC, EC, dpad)
-    dst3 = dst.reshape(e // EC, 1, EC)
-    n_blocks = -(-n_nodes // BM)
-    n_pad = n_blocks * BM
-
+def _make_kernel(bm: int, ec: int, max_blk: int, n_pad: int, dpad: int,
+                 two_pass: bool, interpret: bool):
+    """pallas_call for one segment's accumulate-into-out pass."""
+    stream_dtype = jnp.float32 if two_pass else jnp.bfloat16
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,          # block_ptr
-        grid=(n_blocks,),
+        num_scalar_prefetch=2,          # blk_lo, bptr
+        grid=(max_blk,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # dst3 (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # msgs3 (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # dst chunks (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # msg chunks (HBM)
+            pl.BlockSpec((bm, dpad),                # running out block
+                         lambda i, lo, ptr: (lo[0] + i, 0)),
         ],
-        out_specs=pl.BlockSpec((BM, dpad), lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bm, dpad),
+                               lambda i, lo, ptr: (lo[0] + i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((BM, dpad), jnp.float32),      # accumulator
-            pltpu.VMEM((2, EC, dpad), jnp.float32),
-            pltpu.VMEM((2, 1, EC), jnp.int32),
+            pltpu.VMEM((bm, dpad), jnp.float32),      # accumulator
+            pltpu.VMEM((2, ec, dpad), stream_dtype),
+            pltpu.VMEM((2, 1, ec), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out = pl.pallas_call(
-        _spmm_kernel,
+    return pl.pallas_call(
+        functools.partial(_spmm_kernel, bm, ec, two_pass),
         out_shape=jax.ShapeDtypeStruct((n_pad, dpad), jnp.float32),
         grid_spec=grid_spec,
+        # flattened inputs: blk_lo(0) bptr(1) dst(2) msgs(3) prev(4)
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(block_ptr, dst3, msgs3)
-    return out[:n_nodes, :d]
+    )
 
 
+@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
 def pallas_spmm(src: jax.Array, dst: jax.Array, weight: jax.Array,
-                x: jax.Array, n_nodes: int, block_ptr: jax.Array,
+                x: jax.Array, meta: PallasMeta,
+                precision: str = "f32x2",
                 interpret: bool = False) -> jax.Array:
-    """out[d] = Σ_{e: dst[e]=d} w[e]·x[src[e]] — Pallas block kernel.
+    """out[d] = Σ_{e: dst[e]=d} w[e]·x[src[e]] — streaming Pallas kernel.
 
-    Edges must be dst-sorted and padded to a multiple of EC with
-    zero-weight edges (prepare_pallas_graph)."""
+    Edges must be dst-sorted and padded to the segment layout
+    (prepare_pallas_graph / pad_edges); ``meta`` carries the per-segment
+    block pointers.  The (seg, dpad) message gather runs per scan step,
+    so peak HBM stays bounded by one segment regardless of edge count.
+    Returns (meta.n_blocks · meta.bm, d) — slice [:n_nodes] if needed.
+    """
     d = x.shape[1]
     dpad = -(-d // 128) * 128
     if dpad != d:
         # pad the (N, d) table once — far cheaper than padding the
-        # (E, d) message stream inside the kernel wrapper
+        # (E, d) message stream
         x = jnp.pad(x, ((0, 0), (0, dpad - d)))
-    msgs = x[src] * weight[:, None].astype(x.dtype)
-    out = _pallas_segment_sum(msgs.astype(jnp.float32), dst,
-                              block_ptr, n_nodes, interpret)
+    two_pass = precision == "f32x2"
+    stream_dtype = jnp.float32 if two_pass else jnp.bfloat16
+    n_seg, seg, ec = meta.n_seg, meta.seg, meta.ec
+    n_pad = meta.n_blocks * meta.bm
+    src2 = src.reshape(n_seg, seg)
+    dst4 = dst.reshape(n_seg, seg // ec, 1, ec)
+    w2 = weight.reshape(n_seg, seg)
+    kernel = _make_kernel(meta.bm, ec, meta.max_blk, n_pad, dpad,
+                          two_pass, interpret)
+
+    def body(out, seg_in):
+        lo_s, bptr_s, src_s, dst_s, w_s = seg_in
+        msgs = (x[src_s] * w_s[:, None].astype(x.dtype)).astype(
+            stream_dtype)
+        msgs3 = msgs.reshape(seg // ec, ec, dpad)
+        return kernel(lo_s, bptr_s, dst_s, msgs3, out), None
+
+    out0 = jnp.zeros((n_pad, dpad), jnp.float32)
+    out, _ = jax.lax.scan(
+        body, out0, (meta.blk_lo, meta.bptr, src2, dst4, w2))
     return out[:, :d]
-
-
-def prepare_pallas_graph(src: np.ndarray, dst: np.ndarray,
-                         weight: np.ndarray, n_nodes: int
-                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
-                                    np.ndarray]:
-    """Host prep: sort by dst, pad edge count to a multiple of EC with
-    zero-weight self-edges on the last node, build block_ptr."""
-    order = np.argsort(dst, kind="stable")
-    src, dst, weight = src[order], dst[order], weight[order]
-    e = len(src)
-    e_pad = -(-e // EC) * EC
-    if e_pad > e:
-        pad = e_pad - e
-        src = np.concatenate([src, np.full(pad, n_nodes - 1, src.dtype)])
-        dst = np.concatenate([dst, np.full(pad, n_nodes - 1, dst.dtype)])
-        weight = np.concatenate([weight, np.zeros(pad, weight.dtype)])
-    block_ptr = build_block_ptr(dst, n_nodes)
-    return (src.astype(np.int32), dst.astype(np.int32),
-            weight.astype(np.float32), block_ptr)

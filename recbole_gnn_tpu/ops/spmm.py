@@ -60,9 +60,9 @@ class Graph:
     rev_edge_id: jax.Array | None
     n_nodes: int
     n_src_nodes: int
-    block_ptr: jax.Array | None = None      # Pallas kernel CSR-block ptr
-    rev_block_ptr: jax.Array | None = None  # ... for the transpose pass
-    nnz: int | None = None                  # real edges (excl. pallas pad)
+    block_ptr: object | None = None      # PallasMeta (streaming kernel)
+    rev_block_ptr: object | None = None  # ... for the transpose pass
+    nnz: int | None = None               # real edges (excl. pallas pad)
 
     def tree_flatten(self):
         return ((self.src, self.dst, self.weight, self.rev_src,
@@ -110,8 +110,9 @@ def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
                 with_pallas: bool = False) -> Graph:
     """Host-side constructor: sorts edges by dst; precomputes the
     transposed ordering for the custom-VJP backward.  With
-    ``with_pallas`` the edge list is padded to the kernel chunk size
-    and block pointers are attached for ops.pallas_spmm."""
+    ``with_pallas`` the edge list is padded to the streaming-kernel
+    segment layout and PallasMeta (per-direction segment/block
+    pointers) is attached for ops.pallas_spmm."""
     src = np.asarray(src, dtype=np.int32)
     dst = np.asarray(dst, dtype=np.int32)
     weight = np.asarray(weight, dtype=np.float32)
@@ -120,8 +121,7 @@ def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     block_ptr = rev_block_ptr = None
     nnz = len(src)
     if with_pallas:
-        from recbole_gnn_tpu.ops.pallas_spmm import (
-            build_block_ptr, prepare_pallas_graph)
+        from recbole_gnn_tpu.ops.pallas_spmm import prepare_pallas_graph
         src, dst, weight, block_ptr = prepare_pallas_graph(
             src, dst, weight, n_nodes)
         sort = False  # already dst-sorted + padded
@@ -135,13 +135,13 @@ def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
         rev_dst = src[rev_order]
         rev_eid = rev_order
         if with_pallas:
-            from recbole_gnn_tpu.ops.pallas_spmm import build_block_ptr
-            rev_block_ptr = build_block_ptr(rev_dst, n_src_nodes)
+            from recbole_gnn_tpu.ops.pallas_spmm import build_pallas_meta
+            rev_block_ptr = build_pallas_meta(rev_dst, n_src_nodes)
     as_j = lambda a: None if a is None else jnp.asarray(a)
     return Graph(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(weight),
                  as_j(rev_src), as_j(rev_dst), as_j(rev_eid),
                  int(n_nodes), int(n_src_nodes),
-                 as_j(block_ptr), as_j(rev_block_ptr), int(nnz))
+                 block_ptr, rev_block_ptr, int(nnz))
 
 
 # peak bytes allowed for the materialized (E, D) message stream before
@@ -214,17 +214,15 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
     rsrc, rdst, reid = graph.rev_src, graph.rev_dst, graph.rev_edge_id
     n_out, n_in = graph.n_nodes, graph.n_src_nodes
     bp, rbp = graph.block_ptr, graph.rev_block_ptr
-    # the pallas kernel pre-materializes the lane-padded message stream;
-    # beyond the budget fall back to the edge-chunked XLA path
-    dpad = -(-x.shape[1] // 128) * 128
-    use_pallas = (bp is not None and _pallas_available()
-                  and graph.src.shape[0] * dpad * 4 <= MSGS_BYTES_BUDGET)
+    # the streaming kernel gathers one bounded segment per scan step —
+    # no message-stream size cliff; engage whenever metadata is present
+    use_pallas = bp is not None and _pallas_available()
 
     @jax.custom_vjp
     def _f(w, x_):
         if use_pallas:
             from recbole_gnn_tpu.ops.pallas_spmm import pallas_spmm
-            return pallas_spmm(src, dst, w, x_, n_out, bp)
+            return pallas_spmm(src, dst, w, x_, bp)[:n_out]
         return spmm_coo(src, dst, w, x_, n_out)
 
     def _fwd(w, x_):
@@ -236,7 +234,7 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
         rw = w[reid]
         if use_pallas and rbp is not None:
             from recbole_gnn_tpu.ops.pallas_spmm import pallas_spmm
-            gx = pallas_spmm(rsrc, rdst, rw, g, n_in, rbp)
+            gx = pallas_spmm(rsrc, rdst, rw, g, rbp)[:n_in]
         else:
             # spmm_coo auto-chunks huge graphs (no full msgs stream)
             gx = spmm_coo(rsrc, rdst, rw, g, n_in)

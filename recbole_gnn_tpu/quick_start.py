@@ -67,11 +67,16 @@ def create_dataset(config):
 
 
 def _parse_eval_mode(config) -> tuple[str, int]:
+    """'full' | 'uniN' | 'popN' → (mode, sample_num) — the three
+    candidate regimes of the [recbole] evaluator the reference
+    inherits (uniform / popularity-sampled negatives)."""
     mode = ((config["eval_args"] or {}).get("mode")) or "full"
     if mode == "full":
         return "full", 0
     if mode.startswith("uni"):
         return "uni", int(mode[3:])
+    if mode.startswith("pop"):
+        return "pop", int(mode[3:])
     raise ValueError(f"unsupported eval mode {mode!r}")
 
 
@@ -131,9 +136,11 @@ def data_preparation(config, dataset):
             test_loader = SequentialFullSortEvalLoader(test_ds, config)
         else:
             valid_loader = SequentialNegSampleEvalLoader(
-                valid_ds, [train_ds], config, sample_num)
+                valid_ds, [train_ds], config, sample_num,
+                distribution=mode)
             test_loader = SequentialNegSampleEvalLoader(
-                test_ds, [train_ds, valid_ds], config, sample_num)
+                test_ds, [train_ds, valid_ds], config, sample_num,
+                distribution=mode)
     else:
         train_loader = TrainLoader(train_ds, config)
         if mode == "full":
@@ -142,9 +149,11 @@ def data_preparation(config, dataset):
                 test_ds, [train_ds, valid_ds], config)
         else:
             valid_loader = NegSampleEvalLoader(
-                valid_ds, [train_ds], config, sample_num)
+                valid_ds, [train_ds], config, sample_num,
+                distribution=mode)
             test_loader = NegSampleEvalLoader(
-                test_ds, [train_ds, valid_ds], config, sample_num)
+                test_ds, [train_ds, valid_ds], config, sample_num,
+                distribution=mode)
     return (train_loader, train_ds), (valid_loader, valid_ds), \
         (test_loader, test_ds)
 

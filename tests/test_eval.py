@@ -113,6 +113,57 @@ def test_uni100_candidate_ranking_semantics():
     assert res["mrr@10"] > 0.999
 
 
+def test_fullsort_loader_vectorized_matches_history_matrix():
+    """The vectorized eval-prep (searchsorted/scatter) must produce the
+    same per-user positive/history rows as the dict-based
+    history_matrix construction."""
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    from conftest import base_config_dict
+
+    cfg = Config(config_dict=base_config_dict(model="BPR"))
+    ds = create_dataset(cfg)
+    (_, tr_ds), (vloader, v_ds), _ = data_preparation(cfg, ds)
+    pos_ref = v_ds.history_matrix()
+    hist_ref = tr_ds.history_matrix()
+    assert set(vloader.eval_users.tolist()) == set(pos_ref.keys())
+    for r, u in enumerate(vloader.eval_users):
+        got_pos = vloader.pos_mat[r][:vloader.pos_cnt[r]]
+        np.testing.assert_array_equal(np.sort(got_pos),
+                                      np.sort(pos_ref[int(u)]))
+        got_hist = vloader.hist_mat[r][:vloader.hist_cnt[r]]
+        want_hist = hist_ref.get(int(u), np.zeros(0, np.int64))
+        np.testing.assert_array_equal(np.sort(got_hist),
+                                      np.sort(want_hist))
+
+
+def test_popn_eval_mode_smoke_and_distribution():
+    """popN candidates are drawn ∝ item frequency ([recbole]
+    popularity distribution); pipeline runs end to end."""
+    from recbole_gnn_tpu.data.sampler import PopularityNegativeSampler
+    from recbole_gnn_tpu.quick_start import run_recbole_gnn_tpu
+    from conftest import base_config_dict
+
+    # distribution check: item 5 has 9× the weight of item 6
+    users = np.zeros(100, np.int64)
+    items = np.concatenate([np.full(90, 5), np.full(10, 6)]).astype(np.int64)
+    s = PopularityNegativeSampler(users, items, n_users=2, n_items=10)
+    rng = np.random.default_rng(0)
+    draws = s._draw(20_000, rng)
+    frac5 = (draws == 5).mean()
+    assert 0.85 < frac5 < 0.95
+
+    res = run_recbole_gnn_tpu(
+        model="BPR", dataset="test",
+        config_dict=base_config_dict(
+            model="BPR", epochs=1,
+            eval_args={"split": {"RS": [0.8, 0.1, 0.1]},
+                       "group_by": "user", "order": "RO",
+                       "mode": "pop100"}),
+        saved=False, verbose=False)
+    assert 0.0 <= res["test_result"]["recall@10"] <= 1.0
+
+
 def test_train_loader_deterministic_per_seed():
     from recbole_gnn_tpu.config import Config
     from recbole_gnn_tpu.quick_start import create_dataset, data_preparation

@@ -209,24 +209,56 @@ def spmm_coo_ref(src, dst, w, x, n):
 
 
 def test_pallas_spmm_interpret_matches_xla():
-    """Pallas block-CSR segment kernel vs XLA reference (interpret mode
-    on CPU; the same kernel compiles on TPU)."""
+    """Streaming Pallas kernel vs XLA reference (interpret mode on CPU;
+    the same kernel compiles on TPU)."""
     from recbole_gnn_tpu.ops.pallas_spmm import (
-        _pallas_segment_sum, prepare_pallas_graph)
+        pallas_spmm, prepare_pallas_graph)
     rng = np.random.default_rng(11)
     n, e, d = 300, 5000, 64
     src = rng.integers(0, n, e)
     dst = rng.integers(0, n, e)
     w = rng.normal(size=e).astype(np.float32)
     x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
-    s, d_, w_, bp = prepare_pallas_graph(src, dst, w, n)
+    s, d_, w_, meta = prepare_pallas_graph(src, dst, w, n)
+    out = pallas_spmm(jnp.asarray(s), jnp.asarray(d_), jnp.asarray(w_),
+                      x, meta, interpret=True)[:n]
     msgs = x[jnp.asarray(s)] * jnp.asarray(w_)[:, None]
-    out = _pallas_segment_sum(msgs, jnp.asarray(d_), jnp.asarray(bp), n,
-                              interpret=True)
     ref = jax.ops.segment_sum(msgs, jnp.asarray(d_), num_segments=n,
                               indices_are_sorted=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-2, atol=2e-3)
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_pallas_spmm_streaming_multisegment():
+    """Forced multi-segment layout: partial sums from several scan
+    steps must accumulate exactly (in-place aliasing), including
+    destination blocks split across segment boundaries and
+    pass-through programs."""
+    from recbole_gnn_tpu.ops.pallas_spmm import (
+        build_pallas_meta, pad_edges, pallas_spmm)
+    rng = np.random.default_rng(21)
+    n, e, d = 100, 1000, 64
+    # skewed dst so hub blocks span multiple segments
+    dst = (rng.zipf(1.3, size=e) % n).astype(np.int64)
+    src = rng.integers(0, n, e)
+    w = rng.normal(size=e).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    ec, seg_max, bm = 64, 256, 32
+    s, d_, w_ = pad_edges(src, dst, w, n, ec=ec, seg_max=seg_max)
+    meta = build_pallas_meta(d_, n, bm=bm, ec=ec, seg_max=seg_max)
+    assert meta.n_seg > 1
+    out = pallas_spmm(jnp.asarray(s), jnp.asarray(d_), jnp.asarray(w_),
+                      x, meta, interpret=True)[:n]
+    msgs = x[jnp.asarray(s)] * jnp.asarray(w_)[:, None]
+    ref = jax.ops.segment_sum(msgs, jnp.asarray(d_), num_segments=n,
+                              indices_are_sorted=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+    # bf16 single-pass mode: same result at reduced precision
+    out16 = pallas_spmm(jnp.asarray(s), jnp.asarray(d_), jnp.asarray(w_),
+                        x, meta, precision="bf16", interpret=True)[:n]
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(ref),
+                               rtol=0.1, atol=0.15)
 
 
 def test_pallas_graph_vjp_matches_plain_graph():
