@@ -25,7 +25,7 @@ from recbole_gnn_tpu.utils.enums import ModelType
 
 class Evaluator:
 
-    def __init__(self, config, model):
+    def __init__(self, config, model, mesh=None):
         self.config = config
         self.model = model
         self.topk = tuple(config["topk"])
@@ -36,6 +36,11 @@ class Evaluator:
         self.n_items = model.n_items
         self._propagate_jit = None
         self._eval_rng = jax.random.PRNGKey(int(config["seed"] or 2020) + 9999)
+        # distributed full-sort: item table row-sharded over the mesh's
+        # tp axis, per-shard top-k + tiny candidate merge (EP-analog —
+        # SURVEY.md §2.7); engaged when the trainer passes its mesh
+        self.mesh = mesh
+        self._dist_full_sort = None
 
     # -- jitted pieces --------------------------------------------------
 
@@ -132,6 +137,53 @@ class Evaluator:
         return self._metric_sums(topk_items, batch["pos_items"],
                                  batch["pos_len"], batch["weight"])
 
+    # -- distributed full-sort (EP-analog) -------------------------------
+
+    def _use_dist_eval(self, mode: str) -> bool:
+        return (mode == "full" and self.mesh is not None
+                and "tp" in self.mesh.axis_names
+                and self.mesh.shape["tp"] > 1)
+
+    def _get_dist_full_sort(self):
+        """Jitted batch scorer routing through the item-sharded
+        distributed top-k (parallel/topk.py): the (B, n_items) score
+        matrix never exists on one chip — each shard scores its rows of
+        the catalog and only the (tp, B, k) candidate sets cross ICI.
+        Matches the reference full-sort convention (lightgcn.py:123-133
+        + [recbole] history −inf masking)."""
+        if self._dist_full_sort is not None:
+            return self._dist_full_sort
+        from recbole_gnn_tpu.parallel.topk import distributed_full_sort_topk
+        mesh = self.mesh
+        n_shards = mesh.shape["tp"]
+        n_items_pad = -(-self.n_items // n_shards) * n_shards
+        n_items = self.n_items
+        max_k = self.max_k
+        metric_sums = self._metric_sums
+
+        @jax.jit
+        def fn(user_all, item_all, batch):
+            users = batch["user_id"]
+            u_e = user_all[users]
+            if n_items_pad != n_items:
+                item_all = jnp.pad(
+                    item_all, ((0, n_items_pad - n_items), (0, 0)))
+            B = users.shape[0]
+            # appended 0 column guarantees the PAD item is always in
+            # the exclusion list; masking happens per shard inside the
+            # shard_map (no (B, n_items) mask on any one chip)
+            hist = jnp.concatenate(
+                [batch["history_items"],
+                 jnp.zeros((B, 1), batch["history_items"].dtype)], axis=1)
+            _, idx = distributed_full_sort_topk(
+                u_e, item_all, hist, max_k, mesh,
+                n_valid_items=n_items)
+            return metric_sums(idx, batch["pos_items"],
+                               batch["pos_len"], batch["weight"])
+
+        self._dist_full_sort = fn
+        return fn
+
     # -- public API -----------------------------------------------------
 
     def evaluate(self, params, extras, loader, mode: str = "full") -> dict:
@@ -158,11 +210,17 @@ class Evaluator:
                     lambda p, c, e: self.model.propagate(p, c, e))
             user_all, item_all = self._propagate_jit(
                 params, self.model.consts, extras)
-            for batch in loader:
-                fn = (self._general_full_sort_batch if mode == "full"
-                      else self._general_candidates_batch)
-                sums = fn(user_all, item_all, batch)
-                self._accumulate(totals, sums)
+            if self._use_dist_eval(mode):
+                dist_fn = self._get_dist_full_sort()
+                for batch in loader:
+                    sums = dist_fn(user_all, item_all, batch)
+                    self._accumulate(totals, sums)
+            else:
+                for batch in loader:
+                    fn = (self._general_full_sort_batch if mode == "full"
+                          else self._general_candidates_batch)
+                    sums = fn(user_all, item_all, batch)
+                    self._accumulate(totals, sums)
         w = max(totals.pop("__weight__", 0.0), 1e-12)
         out = {}
         for name in self.metrics:

@@ -41,11 +41,17 @@ def shard_params_spec(params, mesh: Mesh, table_axis: str = "tp",
         if isinstance(node, (list, tuple)):
             t = type(node)
             return t(walk(v) for v in node)
-        if (key in table_keys and hasattr(node, "ndim") and node.ndim == 2
-                and node.shape[0] % n_shards == 0):
+        if key in table_keys and hasattr(node, "ndim") and node.ndim == 2:
+            if node.shape[0] % n_shards == 0:
+                return emb
             # rows must divide the shard count for an explicit placement;
             # odd tables fall back to replication (pad upstream to shard)
-            return emb
+            import logging
+            logging.getLogger("recbole_gnn_tpu").warning(
+                "table %r (%d rows) not divisible by %s=%d — "
+                "REPLICATED instead of row-sharded (pad the table to "
+                "a shard multiple to regain tp memory scaling)",
+                key, node.shape[0], table_axis, n_shards)
         return rep
 
     return walk(params)

@@ -53,7 +53,6 @@ class Trainer:
                             if isinstance(config["clip_grad_norm"], dict)
                             else config["clip_grad_norm"]),
         )
-        self.evaluator = Evaluator(config, model)
         ckpt_dir = config["checkpoint_dir"] or "saved/"
         self.saved_model_file = os.path.join(
             ckpt_dir, f"{config['model']}-{config['dataset']}.ckpt")
@@ -65,6 +64,9 @@ class Trainer:
         if config["mesh_shape"]:
             from recbole_gnn_tpu.parallel.mesh import make_mesh
             self._mesh = make_mesh(dict(config["mesh_shape"]))
+        # mesh-aware evaluator: full-sort scoring routes through the
+        # item-sharded distributed top-k when a tp axis is present
+        self.evaluator = Evaluator(config, model, mesh=self._mesh)
         self.jsonl = JsonlSink(config["metrics_log_path"])
         self._profile_dir = config["profile_trace_dir"]
         self._tb = None

@@ -27,12 +27,59 @@ def test_distributed_topk_matches_single_device():
     B, N, D, K = 16, 64, 8, 5
     u = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
     it = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
-    hist = jnp.zeros((B, N), bool).at[0, :10].set(True)
-    v, idx = distributed_full_sort_topk(u, it, hist, K, mesh, axis="tp")
+    # user 0 excludes items 0..9 (ids straddle shard boundaries);
+    # other rows exclude nothing (history id 63 repeated)
+    hist = np.full((B, 10), 63, np.int32)
+    hist[0] = np.arange(10)
+    v, idx = distributed_full_sort_topk(
+        u, it, jnp.asarray(hist), K, mesh, axis="tp")
     scores = np.asarray(u) @ np.asarray(it).T
-    scores[np.asarray(hist)] = -1e30
+    for r in range(B):
+        scores[r, hist[r]] = -1e30
     want = np.argsort(-scores, axis=1)[:, :K]
     np.testing.assert_array_equal(np.asarray(idx), want)
+
+
+def test_distributed_topk_masks_catalog_padding():
+    mesh = make_mesh({"tp": 8})
+    rng = np.random.default_rng(3)
+    B, N_valid, D, K = 4, 60, 8, 5
+    N = 64  # padded to the shard multiple
+    u = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    it = jnp.asarray(np.concatenate(
+        [rng.normal(size=(N_valid, D)),
+         np.full((N - N_valid, D), 100.0)]), jnp.float32)  # huge pad rows
+    hist = jnp.zeros((B, 1), jnp.int32)  # only PAD item 0
+    _, idx = distributed_full_sort_topk(
+        u, it, hist, K, mesh, axis="tp", n_valid_items=N_valid)
+    assert int(np.asarray(idx).max()) < N_valid
+    assert 0 not in np.asarray(idx)
+
+
+def test_mesh_mode_distributed_eval_matches_single_device():
+    """Evaluator with a tp mesh must produce identical metrics to the
+    replicated single-device full-sort path (VERDICT r1 #3)."""
+    from conftest import base_config_dict
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.eval.evaluator import Evaluator
+
+    cfg = Config(config_dict=base_config_dict(model="LightGCN"))
+    ds = create_dataset(cfg)
+    (_, tr_ds), (vloader, _), _ = data_preparation(cfg, ds)
+    model = get_model("LightGCN")(cfg, tr_ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    r_single = Evaluator(cfg, model).evaluate(params, {}, vloader)
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    ev = Evaluator(cfg, model, mesh=mesh)
+    assert ev._use_dist_eval("full")
+    r_dist = ev.evaluate(params, {}, vloader)
+    assert r_single.keys() == r_dist.keys()
+    for k in r_single:
+        np.testing.assert_allclose(r_dist[k], r_single[k],
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
 
 
 def test_sharded_train_step_matches_single_device():
