@@ -41,23 +41,27 @@ class DiffNet(SocialRecommender):
             self.consts["item_review"] = jnp.asarray(
                 self._convert_distribution(i_rev))
 
+        import scipy.sparse as sp
+        from recbole_gnn_tpu.models.social.common import to_device_matrix
+
         users, items = dataset.user_item_arrays()
         # U←I interest aggregation: A[u, i] = 1/deg(u) (reference
-        # get_bipartite_inter_mat(row='user'), dataset.py:81-99)
+        # get_bipartite_inter_mat(row='user'), dataset.py:81-99);
+        # sparse end-to-end — densifies only under the size budget
         deg_u = np.bincount(users, minlength=self.n_users).astype(np.float64)
-        a = np.zeros((self.n_users, self.n_items), dtype=np.float32)
-        np.add.at(a, (users, items),
-                  (1.0 / np.maximum(deg_u[users], 1.0)).astype(np.float32))
-        self.consts["ui"] = jnp.asarray(a)
+        a = sp.coo_matrix(
+            ((1.0 / np.maximum(deg_u[users], 1.0)).astype(np.float32),
+             (users, items)), shape=(self.n_users, self.n_items))
+        self.consts["ui"] = to_device_matrix(a, config)
 
         # social diffusion: new_u[s] = Σ_{(s,t)∈net} 1/deg(s) · u[t]
         # (reference forward :102 — conv over flipped row-normalized net)
         src, dst = dataset.net_edges()
         deg_s = np.bincount(src, minlength=self.n_users).astype(np.float64)
-        s = np.zeros((self.n_users, self.n_users), dtype=np.float32)
-        np.add.at(s, (src, dst),
-                  (1.0 / np.maximum(deg_s[src], 1.0)).astype(np.float32))
-        self.consts["net"] = jnp.asarray(s)
+        s = sp.coo_matrix(
+            ((1.0 / np.maximum(deg_s[src], 1.0)).astype(np.float32),
+             (src, dst)), shape=(self.n_users, self.n_users))
+        self.consts["net"] = to_device_matrix(s, config)
 
     @staticmethod
     def _convert_distribution(x):

@@ -8,8 +8,11 @@ bipartite item/user convs with self-gating per channel (:160-215);
 hierarchical MIM self-supervision with row / row-col shuffles
 (:217-241); BPR + ssl_reg·MIM + reg.
 
-Motif algebra stays host-side scipy at preprocessing (SURVEY.md §2.6);
-the channel matrices run dense on the MXU at benchmark scales.
+Motif algebra stays host-side scipy at preprocessing (SURVEY.md §2.6)
+and never densifies: the channel / interaction matrices go to device as
+dense MXU blocks only under ``dense_graph_max_entries``, as sparse COO
+Graphs above it (reference mhcn.py:129-166 stays sparse throughout),
+so the model scales past 100k users.
 """
 
 from __future__ import annotations
@@ -35,22 +38,27 @@ class MHCN(SocialRecommender):
         self.ssl_reg = float(config["ssl_reg"] or 1e-5)
         self.reg_weight = float(config["reg_weight"] or 1e-5)
 
+        from recbole_gnn_tpu.models.social.common import to_device_matrix
+
         h_s, h_j, h_p = self._motif_matrices(dataset)
-        self.consts["H_s"] = jnp.asarray(h_s)
-        self.consts["H_j"] = jnp.asarray(h_j)
-        self.consts["H_p"] = jnp.asarray(h_p)
+        self.consts["H_s"] = to_device_matrix(h_s, config)
+        self.consts["H_j"] = to_device_matrix(h_j, config)
+        self.consts["H_p"] = to_device_matrix(h_p, config)
 
         users, items = dataset.user_item_arrays()
         deg_u = np.bincount(users, minlength=self.n_users).astype(np.float64)
         deg_i = np.bincount(items, minlength=self.n_items).astype(np.float64)
         w = 1.0 / np.sqrt(np.maximum(deg_u[users] * deg_i[items], 1e-12))
-        r = np.zeros((self.n_users, self.n_items), dtype=np.float32)
-        np.add.at(r, (users, items), w.astype(np.float32))
-        self.consts["R"] = jnp.asarray(r)
+        r = sp.coo_matrix((w.astype(np.float32), (users, items)),
+                          shape=(self.n_users, self.n_items)).tocsr()
+        # both propagation directions as separate device matrices (the
+        # dense path transposed R; a Graph carries one direction each)
+        self.consts["R_ui"] = to_device_matrix(r, config)
+        self.consts["R_iu"] = to_device_matrix(r.T.tocsr(), config)
 
     def _motif_matrices(self, dataset):
         """A1..A10 motif algebra (reference get_motif_adj_matrix
-        :129-158), scipy host-side; returns dense row-normalized
+        :129-158), scipy host-side; returns SPARSE row-normalized
         H_s, H_j, H_p."""
         s_src, s_dst, s_val = dataset.net_coo()
         u_arr, i_arr, y_val = dataset.inter_coo()
@@ -82,17 +90,14 @@ class MHCN(SocialRecommender):
         A9 = A9 + A9.T
         A10 = Y.dot(Y.T) - A8 - A9
 
-        def row_norm(m):
-            m = np.asarray(m.todense(), dtype=np.float64)
-            return (m / (m.sum(axis=1, keepdims=True) + 1e-7)).astype(
-                np.float32)
+        from recbole_gnn_tpu.models.social.common import row_normalize
 
-        H_s = row_norm(A1 + A2 + A3 + A4 + A5 + A6 + A7)
-        H_j = row_norm(A8 + A9)
-        H_p = np.asarray(A10.todense(), dtype=np.float64)
-        H_p = H_p * (H_p > 1)
-        H_p = (H_p / (H_p.sum(axis=1, keepdims=True) + 1e-7)).astype(
-            np.float32)
+        H_s = row_normalize(A1 + A2 + A3 + A4 + A5 + A6 + A7)
+        H_j = row_normalize(A8 + A9)
+        A10 = sp.csr_matrix(A10)
+        A10.data = A10.data * (A10.data > 1)   # reference H_p·(H_p > 1)
+        A10.eliminate_zeros()
+        H_p = row_normalize(A10)
         return H_s, H_j, H_p
 
     def init_params(self, rng):
@@ -146,11 +151,9 @@ class MHCN(SocialRecommender):
             all_c2.append(self._l2norm(c2))
             c3 = matvec_any(consts["H_p"], c3)
             all_c3.append(self._l2norm(c3))
-            new_items = jnp.dot(consts["R"].T, mixed,
-                                preferred_element_type=jnp.float32)
+            new_items = matvec_any(consts["R_iu"], mixed)
             all_i.append(self._l2norm(new_items))
-            simple = jnp.dot(consts["R"], item_embeddings,
-                             preferred_element_type=jnp.float32)
+            simple = matvec_any(consts["R_ui"], item_embeddings)
             all_simple.append(self._l2norm(simple))
             item_embeddings = new_items
 

@@ -52,15 +52,19 @@ class SEPT(SocialRecommender):
         s_src, s_dst, s_val = dataset.net_coo()
         u_arr, i_arr, y_val = dataset.inter_coo()
         n = self.n_users
+        from recbole_gnn_tpu.models.social.common import (
+            sym_normalize_support, to_device_matrix)
         S = sp.coo_matrix((s_val, (s_src, s_dst)), shape=(n, n)).tocsr()
         R = sp.coo_matrix((y_val, (u_arr, i_arr)),
                           shape=(n, self.n_items)).tocsr()
-        friend = np.asarray(S.dot(S).todense()) * np.asarray(S.todense()) \
-            + np.eye(n)
-        sharing = np.asarray(R.dot(R.T).todense()) * np.asarray(S.todense()) \
-            + np.eye(n)
-        self.consts["friend"] = jnp.asarray(self._sym_norm_dense(friend))
-        self.consts["sharing"] = jnp.asarray(self._sym_norm_dense(sharing))
+        # sparse end-to-end (reference keeps scipy sparse; densifying
+        # n_users² here would cost 40+ GB at 100k users)
+        friend = (S.dot(S)).multiply(S) + sp.eye(n, format="csr")
+        sharing = (R.dot(R.T)).multiply(S) + sp.eye(n, format="csr")
+        self.consts["friend"] = to_device_matrix(
+            sym_normalize_support(friend), config)
+        self.consts["sharing"] = to_device_matrix(
+            sym_normalize_support(sharing), config)
 
         # static joint edge list for the per-epoch perturbed subgraph:
         # inter both directions + net ONE direction (reference :111-133)
@@ -82,17 +86,6 @@ class SEPT(SocialRecommender):
         self.consts["sub_edge_id"] = jnp.asarray(
             kind[order].astype(np.int32))
         self._sub_builder = None
-
-    @staticmethod
-    def _sym_norm_dense(m):
-        """Binary-support sym normalization: the reference rebuilds the
-        view from the COO *indices only* and derives weights from
-        unweighted degrees (get_norm_edge_weight :84-90) — the motif
-        count values are discarded."""
-        m_bin = (m > 0).astype(np.float64)
-        deg = m_bin.sum(axis=1)
-        dinv = 1.0 / np.sqrt(np.where(deg == 0, 1.0, deg))
-        return (m_bin * dinv[:, None] * dinv[None, :]).astype(np.float32)
 
     def init_params(self, rng):
         ku, ki = jax.random.split(rng)

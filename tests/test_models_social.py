@@ -31,6 +31,37 @@ def test_sept_past_warmup():
     quick_test({"model": "SEPT", "warm_up_epochs": 0, "epochs": 2})
 
 
+def test_social_dense_vs_sparse_propagation_equivalence():
+    """Forced-sparse consts (COO Graphs) must propagate identically to
+    the dense MXU path for all three social models (VERDICT r1 #5 —
+    social family at 100k+ users runs without n² memory)."""
+    import jax
+    import numpy as np
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.ops.spmm import Graph
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+
+    for name in ("DiffNet", "MHCN", "SEPT"):
+        outs = []
+        for sparse in (False, True):
+            cfg = Config(config_dict=base_config_dict(
+                model=name, enable_sparse=sparse))
+            ds = create_dataset(cfg)
+            (_, tr_ds), _, _ = data_preparation(cfg, ds)
+            model = get_model(name)(cfg, tr_ds)
+            if sparse:
+                assert any(isinstance(v, Graph)
+                           for v in model.consts.values()), name
+            params = model.init_params(jax.random.PRNGKey(0))
+            u, i = model.propagate(params, model.consts, {})
+            outs.append((np.asarray(u), np.asarray(i)))
+        np.testing.assert_allclose(outs[0][0], outs[1][0],
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+        np.testing.assert_allclose(outs[0][1], outs[1][1],
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
 def test_diffnet_pretrained_review(tmp_path):
     """DiffNet with frozen review embeddings from .user/.item files."""
     import os
