@@ -193,7 +193,10 @@ def transformer_encoder(p: dict, x: jax.Array, attn_mask: jax.Array,
         if rng is not None:
             rng, h = maybe_dropout(rng, h, dropout)
         x = layer_norm(lp["ln1"], x + h)
-        ff = linear(lp["ff2"], jax.nn.gelu(linear(lp["ff1"], x)))
+        # exact erf gelu — [recbole] FeedForward defines gelu as
+        # x·Φ(x), not the tanh approximation jax defaults to
+        ff = linear(lp["ff2"],
+                    jax.nn.gelu(linear(lp["ff1"], x), approximate=False))
         if rng is not None:
             rng, ff = maybe_dropout(rng, ff, dropout)
         x = layer_norm(lp["ln2"], x + ff)
