@@ -6,10 +6,15 @@ No custom transport exists or is needed: each host calls
 (parallel/mesh.py, parallel/sharded_train.py) scales unchanged —
 collectives are compiled by XLA over ICI/DCN.
 
-Typical pod usage (same command on every host):
+Typical pod usage (same command on every host — the init must happen
+inside the SAME process that trains, which run.py --distributed does
+before any device use):
 
-    python -c "from recbole_gnn_tpu.parallel.launch import init_distributed;
-               init_distributed()" && python run.py -m LightGCN -d gowalla ...
+    python run.py --distributed -m LightGCN -d gowalla \\
+        --mesh_shape="{'dp': 16, 'tp': 2}" ...
+
+On non-TPU platforms pass --coordinator_address/--num_processes/
+--process_id explicitly (auto-detected on TPU pods).
 """
 
 from __future__ import annotations
