@@ -1,6 +1,11 @@
 """Benchmark harness — LightGCN training throughput on real hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the driver metric as the FIRST JSON line ({"metric", "value",
+"unit", "vs_baseline"} — unchanged across rounds for comparability),
+then a second JSON line for the forced-sparse streaming-Pallas SpMM at
+a scale where the dense path is infeasible (500k nodes, 10M edges) so
+a sparse-kernel regression is driver-visible (VERDICT r1 #2).  Set
+BENCH_SKIP_SPARSE=1 to print only the first line.
 
 Workload: LightGCN (3 layers, dim 64, BPR) on a synthetic bipartite
 graph at ml-1m scale (~30k nodes, 1M interactions → 2M directed edges),
@@ -119,8 +124,76 @@ def main():
         "value": round(edges_per_s, 1),
         "unit": "edge-feat/s (fwd, 3 layers x 2M edges, dim 64, B=4096)",
         "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 4),
-    }))
+    }), flush=True)
+
+
+# forced-sparse bench: a catalog where the dense bipartite block would
+# be 100k x 400k = 4e10 entries (160 GB) — only the sparse path exists.
+SP_N_NODES = 500_000
+SP_N_EDGES = 10_000_000
+SP_DIM = 64
+SP_ITERS = 8
+
+
+def sparse_main():
+    import jax
+    import jax.numpy as jnp
+
+    from recbole_gnn_tpu.ops.pallas_spmm import (
+        build_pallas_meta, pad_edges)
+    from recbole_gnn_tpu.ops import pallas_spmm as ps
+
+    rng = np.random.default_rng(1)
+    n, e = SP_N_NODES, SP_N_EDGES
+    half = e // 2
+    u = rng.integers(0, 100_000, half)
+    i = rng.integers(100_000, n, half)
+    src = np.concatenate([u, i])
+    dst = np.concatenate([i, u])
+    deg = np.bincount(dst, minlength=n).astype(np.float64)
+    dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
+    w = (dinv[src] * dinv[dst]).astype(np.float32)
+    sp_, dp_, wp_ = pad_edges(src, dst, w, n)
+    meta = build_pallas_meta(dp_, n)
+    spj, dpj, wpj = jnp.asarray(sp_), jnp.asarray(dp_), jnp.asarray(wp_)
+    x0 = jnp.asarray(rng.normal(size=(n, SP_DIM)), jnp.float32)
+
+    @jax.jit
+    def chain(x):
+        def body(xc, _):
+            o = ps.pallas_spmm(spj, dpj, wpj, xc, meta)[:n]
+            return o, None
+        out, _ = jax.lax.scan(body, x, None, length=SP_ITERS)
+        return out
+
+    out = chain(x0)
+    float(out[0, 0])
+    dt = None
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        out = chain(x0)
+        float(out[0, 0])
+        wtime = time.perf_counter() - t0
+        dt = wtime if dt is None else min(dt, wtime)
+    per = dt / SP_ITERS
+    edges_per_s = SP_N_EDGES / per   # one chained spmm == one layer
+    print(json.dumps({
+        "metric": "sparse_streaming_spmm_edge_features_per_s_per_chip",
+        "value": round(edges_per_s, 1),
+        "unit": f"edge-feat/s (fwd, {SP_N_EDGES} edges x dim {SP_DIM}, "
+                f"500k nodes, forced sparse)",
+        "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 4),
+    }), flush=True)
 
 
 if __name__ == "__main__":
+    import os
     main()
+    if not os.environ.get("BENCH_SKIP_SPARSE"):
+        try:
+            sparse_main()
+        except Exception as ex:  # sparse line is additive — never break
+            print(json.dumps({                       # the driver metric
+                "metric": "sparse_streaming_spmm_edge_features_per_s_per_chip",
+                "value": 0.0, "unit": f"FAILED: {type(ex).__name__}",
+                "vs_baseline": 0.0}), flush=True)

@@ -96,3 +96,16 @@ def place_state(params, opt_state, mesh: Mesh, table_axis: str = "tp"):
 def place_batch(batch, mesh: Mesh, axis: str = "dp"):
     bs = batch_sharding(mesh, axis)
     return {k: jax.device_put(jnp.asarray(v), bs) for k, v in batch.items()}
+
+
+def place_epoch_batches(stacked, mesh: Mesh, axis: str = "dp"):
+    """Shard a whole-epoch (steps, batch, …) stack directly: axis 0
+    (scan steps) replicated, axis 1 (per-step batch) over dp — one
+    device_put, no host/device transpose round-trips."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    if axis in mesh.axis_names:
+        spec = NamedSharding(mesh, P(None, axis))
+    else:
+        spec = NamedSharding(mesh, P())
+    return {k: jax.device_put(jnp.asarray(v), spec)
+            for k, v in stacked.items()}

@@ -211,13 +211,11 @@ class Trainer:
                     int(np.prod(next(iter(stacked.values())).shape[:2]))
                 if self._mesh is not None:
                     from recbole_gnn_tpu.parallel.sharded_train import (
-                        place_batch)
-                    # batches sharded over dp on their per-step batch axis
-                    stacked = {k: v for k, v in place_batch(
-                        {k: np.swapaxes(v, 0, 1) for k, v in
-                         stacked.items()}, self._mesh).items()}
-                    stacked = {k: jnp.swapaxes(v, 0, 1)
-                               for k, v in stacked.items()}
+                        place_epoch_batches)
+                    # (steps, batch, …) stack sharded over dp on the
+                    # per-step batch axis — single device_put, no
+                    # host/device transpose round-trips
+                    stacked = place_epoch_batches(stacked, self._mesh)
                 scan_fn = self._get_scan_fn(mode)
                 params, opt_state, loss_sum = scan_fn(
                     params, opt_state, consts, extras, stacked, ek)
