@@ -16,30 +16,38 @@ edge layout instead:
 Edges of neighboring blocks inside boundary chunks mask themselves:
 their dst_local falls outside [0, BM) so the one-hot row is zero.
 
-**Streaming (no scale cliff).**  The gathered message stream
-(msgs = x[src]·w) would be E×dpad×4 bytes if materialized whole — 6 GB
-at gowalla scale, which is what disqualified the round-1 kernel.  The
-edge list is instead split host-side into equal segments of ≤ SEG_MAX
-edges; an XLA `lax.scan` gathers one segment's messages at a time
-(bounded HBM) and the kernel *accumulates* the segment's partial sums
-into the output in place (``input_output_aliases``).  Partial segment
-sums add exactly, and the TPU grid is sequential, so no atomics are
-needed.  A destination block split across segments is finished over
-multiple scan steps; programs whose block has no edges in the current
-segment pass the running value through.
+**Streaming (no scale cliff).**  The gathered message stream would be
+E×dpad×4 bytes if materialized whole — 6 GB at gowalla scale, which is
+what disqualified the round-1 kernel.  The edge list is instead split
+host-side into equal segments of ≤ SEG_MAX edges; an XLA `lax.scan`
+gathers one segment's messages at a time (bounded HBM) and the kernel
+*accumulates* the segment's partial sums into the output in place
+(``input_output_aliases``).  Partial segment sums add exactly, and the
+TPU grid is sequential, so no atomics are needed.  A destination block
+split across segments is finished over multiple scan steps; programs
+whose block has no edges in the current segment pass the running value
+through.
+
+**Precision modes** (the gather + message stream is the bandwidth
+floor — these trade stream bytes against exactness):
+
+  * "packed" (default): x's hi/lo bf16 planes are packed side by side
+    in lanes (d=64 → exactly 128 lanes), so ONE bf16 gather carries
+    f32-grade information at HALF the f32 stream bytes.  The edge
+    weight moves into the kernel: a w-valued one-hot is built from the
+    DMA'd weight chunk, itself split hi/lo, and two bf16 MXU passes
+    against the packed stream produce lane-separated Σw·x_hi / Σw·x_lo
+    partials that XLA adds lane-halfwise afterwards.  Error ~2⁻¹⁶
+    relative (all four hi·hi/hi·lo/lo·hi/lo·lo cross terms are summed).
+  * "f32x2": f32 message stream (pre-multiplied by w outside), split
+    hi/lo in-kernel, two bf16 passes — f32-exact, full stream bytes.
+  * "bf16": single bf16 pass, half bytes, ~3 significant digits.
 
 Layout notes: per-matmul issue overhead dominates at small K, so each
 chunk contracts in a single K=EC matmul; Mosaic cannot reshape sublanes
 into lanes, so the HBM operands are laid out chunk-major — msgs
-(seg/EC, EC, D), dst (seg/EC, 1, EC) — and every DMA slice lands
-tile-aligned with no in-kernel reshapes.  Feature dim padded to 128
-lanes.
-
-Precision: under "f32x2" (default) messages are split hi/lo and
-reduced with two bf16 MXU passes (the one-hot is exact in bf16) —
-f32-exact accumulation at bf16 MXU rate.  "bf16" streams bf16 messages
-in a single pass — half the HBM traffic and half the matmul work, ~3
-significant decimal digits.
+(seg/EC, EC, D), dst/w (seg/EC, 1, EC) — and every DMA slice lands
+tile-aligned with no in-kernel reshapes.
 """
 
 from __future__ import annotations
@@ -53,9 +61,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BM = 256           # destination rows per program
-EC = 512           # edges per DMA chunk
+BM = 512           # destination rows per program
+EC = 4096          # edges per DMA chunk
 SEG_MAX = 1 << 20  # max edges gathered per streamed segment
+
+DEFAULT_PRECISION = "packed"
 
 
 @jax.tree_util.register_pytree_node_class
@@ -105,7 +115,7 @@ def segment_layout(e: int, ec: int | None = None,
     """(n_seg, seg): smallest equal-size ec-aligned segmentation of an
     edge list of length e with seg <= seg_max (up to ec rounding)."""
     ec = ec or EC
-    seg_max = seg_max or SEG_MAX
+    seg_max = max(seg_max or SEG_MAX, ec)
     e_ec = -(-max(e, 1) // ec) * ec
     n_seg = -(-e_ec // seg_max)
     seg = -(-e_ec // (n_seg * ec)) * ec
@@ -167,9 +177,16 @@ def prepare_pallas_graph(src: np.ndarray, dst: np.ndarray,
     return src, dst, weight, meta
 
 
-def _spmm_kernel(bm, ec, two_pass, blk_lo_ref, bptr_ref,
-                 dst_ref, msgs_ref, prev_ref, out_ref,
-                 acc_ref, chunk_buf, dst_buf, sems, dst_sems):
+def _hi_lo(x_f32):
+    hi = x_f32.astype(jnp.bfloat16)
+    lo = (x_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _spmm_kernel(bm, ec, mode, blk_lo_ref, bptr_ref,
+                 dst_ref, w_ref, msgs_ref, prev_ref, out_ref,
+                 acc_ref, chunk_buf, dst_buf, w_buf,
+                 sems, dst_sems, w_sems):
     i = pl.program_id(0)
     start = bptr_ref[i]
     end = bptr_ref[i + 1]
@@ -182,12 +199,16 @@ def _spmm_kernel(bm, ec, two_pass, blk_lo_ref, bptr_ref,
 
     def get_dma(slot, chunk_idx):
         c = c0 + chunk_idx
-        return (
+        dmas = [
             pltpu.make_async_copy(
                 msgs_ref.at[c], chunk_buf.at[slot], sems.at[slot]),
             pltpu.make_async_copy(
                 dst_ref.at[c], dst_buf.at[slot], dst_sems.at[slot]),
-        )
+        ]
+        if mode == "packed":
+            dmas.append(pltpu.make_async_copy(
+                w_ref.at[c], w_buf.at[slot], w_sems.at[slot]))
+        return dmas
 
     @pl.when(n_chunks > 0)
     def _():
@@ -210,21 +231,33 @@ def _spmm_kernel(bm, ec, two_pass, blk_lo_ref, bptr_ref,
             # matmul per pass.  Out-of-block edges vanish (their
             # dst_local is outside [0, BM)).
             dst_row = dst_buf[slot]                     # (1, EC)
-            oh = (jax.lax.broadcasted_iota(jnp.int32, (bm, ec), 0)
-                  == (dst_row - block_base)).astype(jnp.bfloat16)
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (bm, ec), 0)
+                      == (dst_row - block_base))
             m = chunk_buf[slot]                         # (EC, dpad)
             total = acc_ref[:]
-            if two_pass:
-                hi = m.astype(jnp.bfloat16)
-                lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                parts = (hi, lo)
-            else:
-                parts = (m,)                            # bf16 stream
-            for part in parts:
+            if mode == "packed":
+                # w-valued one-hot split hi/lo vs the packed bf16
+                # stream: two passes give all four cross terms
+                ohw = jnp.where(onehot, w_buf[slot], 0.0)
+                parts = _hi_lo(ohw)
+            elif mode == "f32x2":
+                oh16 = onehot.astype(jnp.bfloat16)
+                hi, lo = _hi_lo(m)
                 total = total + jax.lax.dot_general(
-                    oh, part,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    oh16, hi, dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+                parts = None
+                total = total + jax.lax.dot_general(
+                    oh16, lo, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:  # bf16
+                parts = (onehot.astype(jnp.bfloat16),)
+            if parts is not None:
+                for oh in parts:
+                    total = total + jax.lax.dot_general(
+                        oh, m,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
             acc_ref[:] = total
             return carry
 
@@ -234,14 +267,15 @@ def _spmm_kernel(bm, ec, two_pass, blk_lo_ref, bptr_ref,
 
 
 def _make_kernel(bm: int, ec: int, max_blk: int, n_pad: int, dpad: int,
-                 two_pass: bool, interpret: bool):
+                 mode: str, interpret: bool):
     """pallas_call for one segment's accumulate-into-out pass."""
-    stream_dtype = jnp.float32 if two_pass else jnp.bfloat16
+    stream_dtype = jnp.float32 if mode == "f32x2" else jnp.bfloat16
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # blk_lo, bptr
         grid=(max_blk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # dst chunks (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # w chunks (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),   # msg chunks (HBM)
             pl.BlockSpec((bm, dpad),                # running out block
                          lambda i, lo, ptr: (lo[0] + i, 0)),
@@ -252,59 +286,89 @@ def _make_kernel(bm: int, ec: int, max_blk: int, n_pad: int, dpad: int,
             pltpu.VMEM((bm, dpad), jnp.float32),      # accumulator
             pltpu.VMEM((2, ec, dpad), stream_dtype),
             pltpu.VMEM((2, 1, ec), jnp.int32),
+            pltpu.VMEM((2, 1, ec), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_spmm_kernel, bm, ec, two_pass),
+        functools.partial(_spmm_kernel, bm, ec, mode),
         out_shape=jax.ShapeDtypeStruct((n_pad, dpad), jnp.float32),
         grid_spec=grid_spec,
-        # flattened inputs: blk_lo(0) bptr(1) dst(2) msgs(3) prev(4)
-        input_output_aliases={4: 0},
+        # flattened inputs: blk_lo(0) bptr(1) dst(2) w(3) msgs(4) prev(5)
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
 def pallas_spmm(src: jax.Array, dst: jax.Array, weight: jax.Array,
                 x: jax.Array, meta: PallasMeta,
-                precision: str = "f32x2",
+                precision: str | None = None,
                 interpret: bool = False) -> jax.Array:
     """out[d] = Σ_{e: dst[e]=d} w[e]·x[src[e]] — streaming Pallas kernel.
 
     Edges must be dst-sorted and padded to the segment layout
     (prepare_pallas_graph / pad_edges); ``meta`` carries the per-segment
-    block pointers.  The (seg, dpad) message gather runs per scan step,
-    so peak HBM stays bounded by one segment regardless of edge count.
-    Returns (meta.n_blocks · meta.bm, d) — slice [:n_nodes] if needed.
+    block pointers.  The per-segment message gather runs inside the
+    scan, so peak HBM stays bounded by one segment regardless of edge
+    count.  Returns (meta.n_blocks · meta.bm, d) — slice [:n_nodes].
     """
+    # the module default resolves OUTSIDE the jitted impl so changing
+    # it (config pallas_spmm_precision) cannot hit a stale jit cache
+    return _pallas_spmm_jit(src, dst, weight, x, meta,
+                            precision or DEFAULT_PRECISION, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+def _pallas_spmm_jit(src: jax.Array, dst: jax.Array, weight: jax.Array,
+                     x: jax.Array, meta: PallasMeta,
+                     mode: str, interpret: bool) -> jax.Array:
     d = x.shape[1]
-    dpad = -(-d // 128) * 128
-    if dpad != d:
-        # pad the (N, d) table once — far cheaper than padding the
-        # (E, d) message stream
-        x = jnp.pad(x, ((0, 0), (0, dpad - d)))
-    two_pass = precision == "f32x2"
-    stream_dtype = jnp.float32 if two_pass else jnp.bfloat16
     n_seg, seg, ec = meta.n_seg, meta.seg, meta.ec
     n_pad = meta.n_blocks * meta.bm
     src2 = src.reshape(n_seg, seg)
     dst4 = dst.reshape(n_seg, seg // ec, 1, ec)
+    w4 = weight.reshape(n_seg, seg // ec, 1, ec).astype(jnp.float32)
     w2 = weight.reshape(n_seg, seg)
+
+    if mode == "packed":
+        # hi/lo bf16 planes side by side in lanes: one bf16 gather
+        # carries f32-grade information at half the f32 stream bytes
+        d64 = -(-d // 64) * 64
+        if d64 != d:
+            x = jnp.pad(x, ((0, 0), (0, d64 - d)))
+        xf = x.astype(jnp.float32)
+        xh, xl = _hi_lo(xf)
+        x_src = jnp.concatenate([xh, xl], axis=1)       # (N, 2·d64) bf16
+        dpad = 2 * d64
+    else:
+        dpad = -(-d // 128) * 128
+        if dpad != d:
+            # pad the (N, d) table once — far cheaper than padding the
+            # (E, d) message stream
+            x = jnp.pad(x, ((0, 0), (0, dpad - d)))
+        x_src = x
+
     kernel = _make_kernel(meta.bm, ec, meta.max_blk, n_pad, dpad,
-                          two_pass, interpret)
+                          mode, interpret)
+    stream_dtype = jnp.float32 if mode == "f32x2" else jnp.bfloat16
 
     def body(out, seg_in):
-        lo_s, bptr_s, src_s, dst_s, w_s = seg_in
-        msgs = (x[src_s] * w_s[:, None].astype(x.dtype)).astype(
-            stream_dtype)
-        msgs3 = msgs.reshape(seg // ec, ec, dpad)
-        return kernel(lo_s, bptr_s, dst_s, msgs3, out), None
+        lo_s, bptr_s, src_s, dst_s, wc_s, w_s = seg_in
+        msgs = x_src[src_s]
+        if mode != "packed":
+            # weight applied outside; in packed mode it rides the
+            # in-kernel w-valued one-hot instead
+            msgs = msgs * w_s[:, None].astype(msgs.dtype)
+        msgs3 = msgs.astype(stream_dtype).reshape(seg // ec, ec, dpad)
+        return kernel(lo_s, bptr_s, dst_s, wc_s, msgs3, out), None
 
     out0 = jnp.zeros((n_pad, dpad), jnp.float32)
     out, _ = jax.lax.scan(
-        body, out0, (meta.blk_lo, meta.bptr, src2, dst4, w2))
+        body, out0, (meta.blk_lo, meta.bptr, src2, dst4, w4, w2))
+    if mode == "packed":
+        out = out[:, :d64] + out[:, d64:]
     return out[:, :d]

@@ -39,6 +39,13 @@ def create_dataset(config):
     processed dataset pickles to
     {checkpoint_dir}/{dataset}-{Class}.pth and reloads only when every
     cache-relevant config value matches."""
+    prec = config["pallas_spmm_precision"]
+    if prec:
+        # runtime knob for the streaming SpMM stream format (packed /
+        # f32x2 / bf16) — a module default, since Graphs don't carry
+        # config through jit
+        from recbole_gnn_tpu.ops import pallas_spmm as _ps
+        _ps.DEFAULT_PRECISION = str(prec)
     import os
     import pickle
 

@@ -254,11 +254,16 @@ def test_pallas_spmm_streaming_multisegment():
                               indices_are_sorted=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-4)
-    # bf16 single-pass mode: same result at reduced precision
-    out16 = pallas_spmm(jnp.asarray(s), jnp.asarray(d_), jnp.asarray(w_),
-                        x, meta, precision="bf16", interpret=True)[:n]
-    np.testing.assert_allclose(np.asarray(out16), np.asarray(ref),
-                               rtol=0.1, atol=0.15)
+    # every precision mode agrees at its documented tolerance:
+    # packed/f32x2 carry f32-grade info; bf16 ~3 digits
+    for prec, rtol, atol in (("packed", 2e-3, 2e-4),
+                             ("f32x2", 2e-3, 2e-4),
+                             ("bf16", 0.1, 0.15)):
+        outp = pallas_spmm(jnp.asarray(s), jnp.asarray(d_),
+                           jnp.asarray(w_), x, meta,
+                           precision=prec, interpret=True)[:n]
+        np.testing.assert_allclose(np.asarray(outp), np.asarray(ref),
+                                   rtol=rtol, atol=atol, err_msg=prec)
 
 
 def test_pallas_graph_vjp_matches_plain_graph():
