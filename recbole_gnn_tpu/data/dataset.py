@@ -445,7 +445,9 @@ class GeneralGraphDataset(Dataset):
         else:
             deg_src = np.bincount(src, minlength=n_src).astype(np.float64)
             w = 1.0 / np.sqrt(np.maximum(deg_dst[dst] * deg_src[src], 1e-12))
-        return build_graph(src, dst, w, n_dst)
+        return build_graph(src, dst, w, n_dst, n_src_nodes=n_src,
+                           with_pallas=self.config["use_pallas_spmm"]
+                           is not False)
 
     def inter_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Raw (users, items, ones) COO of the rectangular interaction

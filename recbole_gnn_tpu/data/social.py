@@ -90,7 +90,9 @@ class SocialDataset(GeneralGraphDataset):
             w = inv_sqrt[src] * inv_sqrt[dst]
         # Graph convention: dst receives; the reference propagates along
         # src→tgt, so dst = tgt here.
-        return build_graph(src, dst, w, self.n_users)
+        return build_graph(src, dst, w, self.n_users,
+                           with_pallas=self.config["use_pallas_spmm"]
+                           is not False)
 
     def net_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Raw social COO (deduplicated), for host-side motif algebra

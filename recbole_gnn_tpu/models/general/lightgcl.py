@@ -53,11 +53,15 @@ class LightGCL(BaseRecommender):
             np.add.at(a, (users, items), w.astype(np.float32))
             self.consts["adj"] = jnp.asarray(a)
         else:
-            # web-scale catalogs: rectangular COO both directions
+            # web-scale catalogs: rectangular COO both directions,
+            # streaming-Pallas metadata attached (config-gated)
+            wp = config["use_pallas_spmm"] is not False
             self.consts["adj_ui"] = build_graph(
-                items, users, w, self.n_users, n_src_nodes=self.n_items)
+                items, users, w, self.n_users, n_src_nodes=self.n_items,
+                with_pallas=wp)
             self.consts["adj_iu"] = build_graph(
-                users, items, w, self.n_items, n_src_nodes=self.n_users)
+                users, items, w, self.n_items, n_src_nodes=self.n_users,
+                with_pallas=wp)
 
         # rank-q randomized SVD of the normalized adjacency (init-time)
         svd_u, s, svd_v = randomized_svd_sparse(

@@ -408,3 +408,42 @@ def test_multibehavior_with_behavior_field(tmp_path):
     for n in names:
         cnt_key = "n_nodes__" + n[3:]
         assert (g[cnt_key] <= g["n_nodes"]).all()
+
+
+def test_bipartite_graph_rectangular_shapes_and_vjp():
+    """get_bipartite_graph returns a RECTANGULAR graph: n_nodes = rows,
+    n_src_nodes = columns; forward aggregates column features into rows
+    and the transpose-VJP uses the correct column count (was silently
+    defaulting n_src_nodes to n_dst)."""
+    import jax
+    import jax.numpy as jnp
+    from conftest import base_config_dict
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.quick_start import create_dataset
+    from recbole_gnn_tpu.ops.spmm import spmm
+
+    cfg = Config(config_dict=base_config_dict(model="LightGCN"))
+    ds = create_dataset(cfg)
+    g = ds.get_bipartite_graph(row="user", row_norm=True)
+    assert g.n_nodes == ds.n_users and g.n_src_nodes == ds.n_items
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(ds.n_items, 8)), jnp.float32)
+    out = spmm(g, x)
+    assert out.shape == (ds.n_users, 8)
+    # row-normalized: each user row is the mean of its items' features
+    users, items = ds.user_item_arrays()
+    u0 = int(users[0])
+    mine = items[users == u0]
+    np.testing.assert_allclose(np.asarray(out[u0]),
+                               np.asarray(x[mine].mean(axis=0)),
+                               rtol=1e-4, atol=1e-5)
+    # transpose-VJP: gradient lands on the ITEM axis with item count
+    cot = jnp.asarray(rng.normal(size=(ds.n_users, 8)), jnp.float32)
+    grad = jax.grad(lambda x_: jnp.sum(spmm(g, x_) * cot))(x)
+    assert grad.shape == (ds.n_items, 8)
+    ref = jax.ops.segment_sum(
+        (cot[g.dst] * g.weight[:, None]), g.src,
+        num_segments=ds.n_items)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
