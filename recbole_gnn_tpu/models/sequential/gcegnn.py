@@ -127,7 +127,9 @@ class GCEGNN(SequentialRecommender):
         alpha = jax.nn.softmax(flat, axis=-1).reshape(B, L, L, 4)
         alpha = alpha * mstack
         w = alpha.sum(axis=-1)                            # (B, L, L)
-        return h * jnp.einsum("bij,bjd->bid", w, h)
+        # out_i = Σ_{(j,t)} α·h_j — reference message returns
+        # e·x_j (add-aggregated), NOT gated by h_i (gcegnn.py:38-43)
+        return jnp.einsum("bij,bjd->bid", w, h)
 
     def _global_agg(self, params, h, batch, rng, train):
         """Session-aware neighbor aggregation over the global table

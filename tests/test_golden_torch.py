@@ -312,7 +312,7 @@ def test_gcegnn_local_agg_joint_softmax_matches_numpy():
         z = sum(np.exp(v - mx) for _, v in inc)
         for (d_, s, at), v in inc:
             wmat[i, s] += np.exp(v - mx) / z
-    want_b = hb * (wmat @ hb)
+    want_b = wmat @ hb    # Σ_(j,t) α·h_j — add-aggregation, no h_i gate
     np.testing.assert_allclose(_np(out[b]), want_b, rtol=2e-3, atol=2e-4)
 
 
