@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from recbole_gnn_tpu.eval.metrics import topk_metrics
-from recbole_gnn_tpu.ops.topk import NEG_INF
+from recbole_gnn_tpu.ops.topk import NEG_INF, masked_topk
 from recbole_gnn_tpu.utils.enums import ModelType
 
 
@@ -60,7 +60,7 @@ class Evaluator:
         mask = jnp.zeros(scores.shape, dtype=bool).at[rows, hist].set(True)
         mask = mask.at[:, 0].set(True)
         scores = jnp.where(mask, NEG_INF, scores)
-        _, idx = jax.lax.top_k(scores, self.max_k)
+        _, idx = masked_topk(scores, self.max_k)
         return self._metric_sums(idx, batch["pos_items"], batch["pos_len"],
                                  batch["weight"])
 
@@ -91,7 +91,7 @@ class Evaluator:
         mask = jnp.zeros(scores.shape, dtype=bool).at[rows, hist].set(True)
         mask = mask.at[:, 0].set(True)  # PAD item
         scores = jnp.where(mask, NEG_INF, scores)
-        _, idx = jax.lax.top_k(scores, self.max_k)
+        _, idx = masked_topk(scores, self.max_k)
         return self._metric_sums(idx, batch["pos_items"], batch["pos_len"],
                                  batch["weight"])
 
@@ -117,7 +117,7 @@ class Evaluator:
         scores = self.model.full_scores(
             params, consts, extras, batch, rng, False)
         scores = scores.at[:, 0].set(NEG_INF)
-        _, idx = jax.lax.top_k(scores, self.max_k)
+        _, idx = masked_topk(scores, self.max_k)
         return self._metric_sums(idx, batch["pos_items"], batch["pos_len"],
                                  batch["weight"])
 

@@ -64,7 +64,8 @@ def distributed_full_sort_topk(user_emb: jax.Array, item_emb: jax.Array,
             col_global = shard_id * shard_size + jnp.arange(shard_size)
             mask = mask | (col_global >= n_valid)[None, :]
         scores = jnp.where(mask, -1e30, scores)
-        v, idx = jax.lax.top_k(scores, k)
+        from recbole_gnn_tpu.ops.topk import masked_topk
+        v, idx = masked_topk(scores, k)   # grouped cut on big shards
         gidx = idx + shard_id * shard_size
         # all-gather the small candidate sets and merge
         v_all = jax.lax.all_gather(v, axis, axis=0)      # (s, B, k)

@@ -296,3 +296,20 @@ def test_spmm_chunked_matches_unchunked():
     want = np.asarray(spmm_coo(src, dst, w, x, n))
     got = np.asarray(_spmm_coo_chunked(src, dst, w, x, n, True, chunk=50))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_topk_exact():
+    """Two-stage grouped top-k must equal lax.top_k exactly, including
+    duplicate scores and NEG_INF-padded tails."""
+    from recbole_gnn_tpu.ops.topk import grouped_topk
+    rng = np.random.default_rng(30)
+    B, n, k = 7, 100_000, 10
+    scores = rng.normal(size=(B, n)).astype(np.float32)
+    scores[0, :5000] = 3.14          # duplicates straddling groups
+    v1, i1 = grouped_topk(jnp.asarray(scores), k, group=8192)
+    v2, i2 = jax.lax.top_k(jnp.asarray(scores), k)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
+    # indices may differ among equal values; values must match and the
+    # returned indices must actually hold those values
+    got = np.take_along_axis(scores, np.asarray(i1), axis=1)
+    np.testing.assert_allclose(got, np.asarray(v2))
