@@ -65,7 +65,11 @@ BM = 512           # destination rows per program
 EC = 4096          # edges per DMA chunk
 SEG_MAX = 1 << 20  # max edges gathered per streamed segment
 
-DEFAULT_PRECISION = "packed"
+# f32x2 measured f32-exact on hardware (4.8e-6); "packed" halves the
+# stream but currently shows ~2e-3 error on real TPU (hi/lo of the
+# in-kernel w-one-hot appears to collapse under Mosaic — under
+# investigation; CPU interpret mode is exact), so it is opt-in.
+DEFAULT_PRECISION = "f32x2"
 
 
 @jax.tree_util.register_pytree_node_class

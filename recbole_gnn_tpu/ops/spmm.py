@@ -148,6 +148,12 @@ def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
 # the edge-chunked accumulation path kicks in (HBM headroom guard)
 MSGS_BYTES_BUDGET = 1 << 29     # 512 MB
 
+# sparse-path implementation: "xla" = gather + sorted segment-sum
+# (XLA's sorted path measured ~195 GB/s on v5e / jax 0.9 — see
+# scripts/diag/segsum_scale.py), "pallas" = the streaming one-hot MXU
+# kernel (ops/pallas_spmm.py).  Config key `sparse_spmm_impl`.
+SPMM_IMPL = "xla"
+
 
 def spmm_coo(src: jax.Array, dst: jax.Array, weight: jax.Array,
              x: jax.Array, n_out: int,
@@ -215,8 +221,11 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
     n_out, n_in = graph.n_nodes, graph.n_src_nodes
     bp, rbp = graph.block_ptr, graph.rev_block_ptr
     # the streaming kernel gathers one bounded segment per scan step —
-    # no message-stream size cliff; engage whenever metadata is present
-    use_pallas = bp is not None and _pallas_available()
+    # no message-stream size cliff; engaged when metadata is present
+    # AND the pallas impl is selected (XLA's sorted segment-sum is the
+    # measured default on current hardware/compiler)
+    use_pallas = (bp is not None and _pallas_available()
+                  and SPMM_IMPL == "pallas")
 
     @jax.custom_vjp
     def _f(w, x_):

@@ -46,6 +46,10 @@ def create_dataset(config):
         # config through jit
         from recbole_gnn_tpu.ops import pallas_spmm as _ps
         _ps.DEFAULT_PRECISION = str(prec)
+    impl = config["sparse_spmm_impl"]
+    if impl:
+        from recbole_gnn_tpu.ops import spmm as _spmm_mod
+        _spmm_mod.SPMM_IMPL = str(impl)
     import os
     import pickle
 
