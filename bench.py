@@ -20,6 +20,7 @@ efficiency claim (README.md:10: sparse path ≈5× over dense, LightGCN
 ml-1m epoch ≈ 6s on a single GPU → ~3.3e9 edge-features/s; recorded
 here once so every round is comparable)."""
 
+import functools
 import json
 import time
 
@@ -139,9 +140,7 @@ def sparse_main():
     import jax
     import jax.numpy as jnp
 
-    from recbole_gnn_tpu.ops.pallas_spmm import (
-        build_pallas_meta, pad_edges)
-    from recbole_gnn_tpu.ops import pallas_spmm as ps
+    from recbole_gnn_tpu.ops.spmm import build_graph, spmm
 
     rng = np.random.default_rng(1)
     n, e = SP_N_NODES, SP_N_EDGES
@@ -153,18 +152,19 @@ def sparse_main():
     deg = np.bincount(dst, minlength=n).astype(np.float64)
     dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
     w = (dinv[src] * dinv[dst]).astype(np.float32)
-    sp_, dp_, wp_ = pad_edges(src, dst, w, n)
-    meta = build_pallas_meta(dp_, n)
-    spj, dpj, wpj = jnp.asarray(sp_), jnp.asarray(dp_), jnp.asarray(wp_)
+    # the production sparse path: Graph + spmm() (impl dispatch —
+    # XLA sorted segment-sum by default, streaming Pallas via
+    # sparse_spmm_impl) with the custom transpose-VJP attached
+    graph = build_graph(src, dst, w, n, with_pallas=True)
     x0 = jnp.asarray(rng.normal(size=(n, SP_DIM)), jnp.float32)
 
     @jax.jit
-    def chain(x):
+    def chain(g, x):
         def body(xc, _):
-            o = ps.pallas_spmm(spj, dpj, wpj, xc, meta)[:n]
-            return o, None
+            return spmm(g, xc), None
         out, _ = jax.lax.scan(body, x, None, length=SP_ITERS)
         return out
+    chain = functools.partial(chain, graph)
 
     out = chain(x0)
     float(out[0, 0])

@@ -145,8 +145,11 @@ def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
 
 
 # peak bytes allowed for the materialized (E, D) message stream before
-# the edge-chunked accumulation path kicks in (HBM headroom guard)
-MSGS_BYTES_BUDGET = 1 << 29     # 512 MB
+# the edge-chunked accumulation path kicks in (HBM headroom guard).
+# 4 GB admits gowalla-scale (12M edges × 64 lanes ≈ 3 GB transient)
+# unchunked on a 16 GB v5e; beyond it the fori_loop chunking bounds
+# peak memory at the cost of extra dispatches.
+MSGS_BYTES_BUDGET = 1 << 32     # 4 GB
 
 # sparse-path implementation: "xla" = gather + sorted segment-sum
 # (XLA's sorted path measured ~195 GB/s on v5e / jax 0.9 — see

@@ -4,9 +4,12 @@ Pallas SpMM, big-catalog full-sort eval.  Run from the repo root.
 """
 
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, ".")
 
 OUT = "/tmp/synth_data/gowalla_synth"
 N_U, N_I, N = 100_000, 1_300_000, 6_000_000
@@ -39,8 +42,11 @@ def run():
         config_dict={
             "data_path": "/tmp/synth_data", "epochs": 2,
             "n_layers": 3, "train_batch_size": 4096,
-            "eval_batch_size": 128,           # B x 1.3M score rows
-            "eval_step": 2, "enable_sparse": True, "use_pallas_spmm": False,
+            "eval_batch_size": 256,           # B x 1.3M score rows
+            "eval_step": 2, "enable_sparse": True,
+            # per-step dispatch: the axon remote service compiles the
+            # scanned whole-epoch program too slowly at this scale
+            "epoch_scan": False,
             "load_col": {"inter": ["user_id", "item_id", "timestamp"]},
             "checkpoint_dir": "/tmp/rgt_gowalla", "state": "INFO"},
         verbose=True)
