@@ -1,10 +1,13 @@
 """Pallas TPU kernel: streaming sorted-segment-sum SpMM.
 
-The sparse-path hot kernel (SURVEY.md §7.3 "SpMM speed-of-light"),
 TPU-native replacement for torch_sparse CUDA SpMM (reference:
-recbole_gnn/model/layers.py:19-20).  XLA lowers segment-sum to a serial
-scatter on TPU (~22 GB/s measured); this kernel exploits the dst-sorted
-edge layout instead:
+recbole_gnn/model/layers.py:19-20), selectable via
+``sparse_spmm_impl: pallas``.  NOTE: on the current compiler
+generation (v5e / jax 0.9) XLA's *sorted* segment-sum is faster
+(4.9 ms vs 28.8 ms at 2M edges × dim 64 — scripts/diag/
+segsum_scale.py), so the XLA path is the default and this kernel is
+the hedge against compiler regressions of that path.  It exploits the
+dst-sorted edge layout:
 
   grid      = one program per block of BM destination rows
   edges     = the EC-aligned chunks overlapping the block's edge range
