@@ -25,6 +25,12 @@ def test_srgnn_uni100():
                               "mode": "uni100", "order": "TO"}})
 
 
+def test_srgnn_pop100():
+    quick_test({"model": "SRGNN",
+                "eval_args": {"split": {"LS": "valid_and_test"},
+                              "mode": "pop100", "order": "TO"}})
+
+
 def test_srgnn_bpr():
     quick_test({"model": "SRGNN", "loss_type": "BPR",
                 "train_neg_sample_args": {"distribution": "uniform",
