@@ -180,17 +180,25 @@ def run_recbole_gnn_tpu(model=None, dataset=None, config_file_list=None,
     if verbose:
         logger.info(str(config))
 
+    import time as _time
+    t0 = _time.time()
     ds = create_dataset(config)
     if verbose:
         logger.info(str(ds))
+        logger.info(f"dataset ready [{_time.time() - t0:.1f}s]")
     (train_loader, train_ds), (valid_loader, _), (test_loader, _) = \
         data_preparation(config, ds)
+    if verbose:
+        logger.info(f"loaders ready [{_time.time() - t0:.1f}s]")
 
     init_seed(int(config["seed"] or 2020), bool(config["reproducibility"]))
     model_cls = get_model(config["model"])
     model_obj = model_cls(config, train_ds)
     trainer = get_trainer(config["MODEL_TYPE"], config["model"])(
         config, model_obj)
+    if verbose:
+        logger.info(
+            f"model + graph consts built [{_time.time() - t0:.1f}s]")
 
     best_valid_score, best_valid_result = trainer.fit(
         train_loader, valid_loader, saved=saved, verbose=verbose)

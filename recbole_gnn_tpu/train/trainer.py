@@ -235,6 +235,10 @@ class Trainer:
                     w = batch.get("weight")
                     n_examples += int(w.sum()) if w is not None else \
                         len(next(iter(batch.values())))
+                    if verbose and i and i % 500 == 0:
+                        self.logger.info(
+                            f"epoch {epoch} step {i}: "
+                            f"{(time.time() - t0) / i * 1e3:.0f} ms/step")
                 total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
             dt = time.time() - t0
             if self._profile_dir and epoch == 1:
