@@ -50,20 +50,26 @@ class NGCF(GeneralGraphRecommender):
         graph = consts["graph"]
         x = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
         outs = [x]
+        # edge set dropped ONCE per forward, shared by every layer
+        # (reference dropout_adj runs before the layer loop, :74-90);
+        # the dense path samples per direction inside the helper, so a
+        # fixed key keeps the masks constant across layers there too
+        drop_key = None
+        dropped_graph = graph
+        if train and self.node_dropout > 0:
+            rng, drop_key = jax.random.split(rng)
+            if not isinstance(graph, BipartiteDenseGraph):
+                keep = edge_dropout_mask(drop_key, graph.n_edges_padded,
+                                         self.node_dropout)
+                dropped_graph = graph.with_weight(
+                    graph.weight * keep.astype(jnp.float32))
         for lp in params["layers"]:
-            if train and self.node_dropout > 0:
-                rng, k = jax.random.split(rng)
-                if isinstance(graph, BipartiteDenseGraph):
-                    x_prop = spmm_dense_bipartite_dropout(
-                        graph, x, k, self.node_dropout)
-                else:
-                    keep = edge_dropout_mask(k, graph.n_edges_padded,
-                                             self.node_dropout)
-                    x_prop = spmm_any(
-                        graph.with_weight(
-                            graph.weight * keep.astype(jnp.float32)), x)
+            if drop_key is not None and isinstance(graph,
+                                                   BipartiteDenseGraph):
+                x_prop = spmm_dense_bipartite_dropout(
+                    graph, x, drop_key, self.node_dropout)
             else:
-                x_prop = spmm_any(graph, x)
+                x_prop = spmm_any(dropped_graph, x)
             x = linear(lp["lin1"], x_prop + x) + linear(lp["lin2"], x_prop * x)
             x = jax.nn.leaky_relu(x, negative_slope=0.2)
             if train and self.message_dropout > 0:
