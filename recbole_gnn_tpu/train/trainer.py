@@ -221,7 +221,7 @@ class Trainer:
                     params, opt_state, consts, extras, stacked, ek)
                 total = float(loss_sum)
             else:
-                losses = []
+                loss_sum = None
                 n_examples = 0
                 for i, batch in enumerate(train_loader):
                     rng = jax.random.fold_in(ek, i)
@@ -231,7 +231,11 @@ class Trainer:
                         batch = place_batch(batch, self._mesh)
                     params, opt_state, loss, _aux = step_fn(
                         params, opt_state, consts, extras, batch, rng)
-                    losses.append(loss)
+                    # running device-scalar sum: a per-step jnp.add
+                    # compiles once; stacking N losses at epoch end
+                    # would build an N-input program (minutes of
+                    # compile at 1000+ steps over the remote service)
+                    loss_sum = loss if loss_sum is None else loss_sum + loss
                     w = batch.get("weight")
                     n_examples += int(w.sum()) if w is not None else \
                         len(next(iter(batch.values())))
@@ -239,7 +243,7 @@ class Trainer:
                         self.logger.info(
                             f"epoch {epoch} step {i}: "
                             f"{(time.time() - t0) / i * 1e3:.0f} ms/step")
-                total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+                total = float(loss_sum) if loss_sum is not None else 0.0
             dt = time.time() - t0
             if self._profile_dir and epoch == 1:
                 jax.profiler.stop_trace()
