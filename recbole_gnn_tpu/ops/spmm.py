@@ -219,10 +219,18 @@ def _spmm_coo_chunked(src, dst, weight, x, n_out, indices_are_sorted,
     return jax.lax.fori_loop(0, n_chunks, body, acc0)
 
 
-def spmm(graph: Graph, x: jax.Array) -> jax.Array:
-    """SpMM over a :class:`Graph`.  Differentiable w.r.t. ``x`` and
-    ``graph.weight``; the x-gradient runs as a transpose SpMM over the
-    pre-sorted reversed edges (sorted segment-sum, never scatter)."""
+def spmm(graph: Graph, x: jax.Array,
+         weight_grad: bool = False) -> jax.Array:
+    """SpMM over a :class:`Graph`.  The x-gradient runs as a transpose
+    SpMM over the pre-sorted reversed edges (sorted segment-sum, never
+    an unsorted scatter).
+
+    ``weight_grad``: no model in the zoo learns edge weights (dropout /
+    augmentation weights are recomputed from masks, never parameters),
+    so by default the weight cotangent is a zeros placeholder and the
+    two (E, D) gathers it would cost per backward are skipped.  Pass
+    ``weight_grad=True`` if you genuinely differentiate w.r.t.
+    ``graph.weight``."""
     if graph.rev_src is None:
         return spmm_coo(graph.src, graph.dst, graph.weight, x, graph.n_nodes)
 
@@ -257,8 +265,11 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
         else:
             # spmm_coo auto-chunks huge graphs (no full msgs stream)
             gx = spmm_coo(rsrc, rdst, rw, g, n_in)
-        # dL/dw[e] = x[src[e]] · g[dst[e]]
-        gw = jnp.sum(x_[src] * g[dst], axis=-1)
+        if weight_grad:
+            # dL/dw[e] = x[src[e]] · g[dst[e]]
+            gw = jnp.sum(x_[src] * g[dst], axis=-1)
+        else:
+            gw = jnp.zeros_like(w)
         return gw, gx
 
     _f.defvjp(_fwd, _bwd)

@@ -180,7 +180,7 @@ def test_spmm_weight_grad():
     cot = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
 
     def f(w_):
-        return jnp.sum(spmm(g.with_weight(w_), x) * cot)
+        return jnp.sum(spmm(g.with_weight(w_), x, weight_grad=True) * cot)
 
     gw = np.asarray(jax.grad(f)(g.weight))
     want = np.asarray([np.dot(np.asarray(x)[s], np.asarray(cot)[d])
