@@ -58,7 +58,15 @@ class Trainer:
             ckpt_dir, f"{config['model']}-{config['dataset']}.ckpt")
         self._step_fns: dict[int, callable] = {}
         self._scan_fns: dict[int, callable] = {}
-        self._use_scan = config["epoch_scan"] is not False
+        # epoch_scan: true = whole epoch as ONE scan dispatch; an int K
+        # = scans of K steps per dispatch (amortizes per-dispatch
+        # transport latency while keeping compile near single-step
+        # cost); false = per-step dispatch
+        _es = config["epoch_scan"]
+        self._use_scan = _es is not False
+        self._scan_chunk = (_es if isinstance(_es, int)
+                            and not isinstance(_es, bool) and _es > 0
+                            else None)
         self.train_timings: list[float] = []
         self._mesh = None
         if config["mesh_shape"]:
@@ -114,13 +122,18 @@ class Trainer:
         return fn
 
     def _get_scan_fn(self, mode: int):
-        """Whole-epoch step: one dispatch, lax.scan over stacked batches."""
+        """Scan-dispatched steps: one device dispatch runs a lax.scan
+        over a stack of batches.  ``step_idx`` carries GLOBAL step
+        numbers so the per-step fold_in schedule is identical whether
+        the epoch runs as one scan, as chunked scans (`epoch_scan: K`),
+        or per-step."""
         if mode in self._scan_fns:
             return self._scan_fns[mode]
         model = self.model
         optimizer = self.optimizer
 
-        def epoch(params, opt_state, consts, extras, batches, epoch_key):
+        def epoch(params, opt_state, consts, extras, batches, step_idx,
+                  epoch_key):
             def scan_step(carry, inp):
                 params, opt_state = carry
                 batch, idx = inp
@@ -136,10 +149,8 @@ class Trainer:
                 params, opt_state = optimizer.update(grads, opt_state, params)
                 return (params, opt_state), loss
 
-            n = jax.tree_util.tree_leaves(batches)[0].shape[0]
             (params, opt_state), losses = jax.lax.scan(
-                scan_step, (params, opt_state),
-                (batches, jnp.arange(n)))
+                scan_step, (params, opt_state), (batches, step_idx))
             return params, opt_state, jnp.sum(losses)
 
         if self._mesh is not None:
@@ -204,22 +215,34 @@ class Trainer:
             t0 = time.time()
             if self._use_scan:
                 batch_list = list(train_loader)
-                stacked = {k: np.stack([b[k] for b in batch_list])
-                           for k in batch_list[0]}
-                n_examples = int(stacked["weight"].sum()) \
-                    if "weight" in stacked else \
-                    int(np.prod(next(iter(stacked.values())).shape[:2]))
-                if self._mesh is not None:
-                    from recbole_gnn_tpu.parallel.sharded_train import (
-                        place_epoch_batches)
-                    # (steps, batch, …) stack sharded over dp on the
-                    # per-step batch axis — single device_put, no
-                    # host/device transpose round-trips
-                    stacked = place_epoch_batches(stacked, self._mesh)
+                n_b = len(batch_list)
+                chunk = self._scan_chunk or n_b
                 scan_fn = self._get_scan_fn(mode)
-                params, opt_state, loss_sum = scan_fn(
-                    params, opt_state, consts, extras, stacked, ek)
-                total = float(loss_sum)
+                n_examples = 0
+                loss_dev = None
+                for lo in range(0, n_b, chunk):
+                    part = batch_list[lo:lo + chunk]
+                    stacked = {k: np.stack([b[k] for b in part])
+                               for k in part[0]}
+                    n_examples += int(stacked["weight"].sum()) \
+                        if "weight" in stacked else \
+                        int(np.prod(
+                            next(iter(stacked.values())).shape[:2]))
+                    if self._mesh is not None:
+                        from recbole_gnn_tpu.parallel.sharded_train import (
+                            place_epoch_batches)
+                        # (steps, batch, …) stack sharded over dp on the
+                        # per-step batch axis — single device_put, no
+                        # host/device transpose round-trips
+                        stacked = place_epoch_batches(stacked, self._mesh)
+                    idx = jnp.arange(lo, lo + len(part))
+                    params, opt_state, loss_sum = scan_fn(
+                        params, opt_state, consts, extras, stacked, idx, ek)
+                    # loss stays a device scalar until epoch end — a
+                    # per-chunk float() would serialize the pipeline
+                    loss_dev = loss_sum if loss_dev is None \
+                        else loss_dev + loss_sum
+                total = float(loss_dev) if loss_dev is not None else 0.0
             else:
                 loss_sum = None
                 n_examples = 0

@@ -184,10 +184,12 @@ def test_extras_checkpointed_and_restored(tmp_path):
 
 
 def test_epoch_scan_matches_per_step():
-    """Scan-epoch mode must be numerically identical to per-step."""
+    """Whole-epoch scan, chunked scan (K steps/dispatch incl. a ragged
+    final chunk), and per-step dispatch must be numerically identical
+    (global step_idx keeps the fold_in schedule aligned)."""
     from recbole_gnn_tpu.quick_start import run_recbole_gnn_tpu
     results = []
-    for scan in (True, False):
+    for scan in (True, 3, False):
         res = run_recbole_gnn_tpu(
             model="LightGCN", dataset="test",
             config_dict=base_config_dict(model="LightGCN", epochs=2,
@@ -196,4 +198,6 @@ def test_epoch_scan_matches_per_step():
         results.append(res["test_result"])
     for k in results[0]:
         np.testing.assert_allclose(results[0][k], results[1][k],
-                                   rtol=1e-5, atol=1e-7)
+                                   rtol=1e-5, atol=1e-7, err_msg=f"chunked {k}")
+        np.testing.assert_allclose(results[0][k], results[2][k],
+                                   rtol=1e-5, atol=1e-7, err_msg=f"per-step {k}")
