@@ -44,9 +44,10 @@ def run():
             "n_layers": 3, "train_batch_size": 4096,
             "eval_batch_size": 256,           # B x 1.3M score rows
             "eval_step": 2, "enable_sparse": True,
-            # per-step dispatch: the axon remote service compiles the
-            # scanned whole-epoch program too slowly at this scale
-            "epoch_scan": False,
+            # chunked-scan dispatch: 64 steps per device dispatch —
+            # per-step tunnel latency dominated the epoch otherwise,
+            # and the whole-epoch scan compiles too slowly remotely
+            "epoch_scan": 64,
             "load_col": {"inter": ["user_id", "item_id", "timestamp"]},
             "checkpoint_dir": "/tmp/rgt_gowalla", "state": "INFO"},
         verbose=True)
