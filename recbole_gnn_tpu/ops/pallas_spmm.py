@@ -34,14 +34,18 @@ through.
 **Precision modes** (the gather + message stream is the bandwidth
 floor — these trade stream bytes against exactness):
 
-  * "packed" (default): x's hi/lo bf16 planes are packed side by side
-    in lanes (d=64 → exactly 128 lanes), so ONE bf16 gather carries
-    f32-grade information at HALF the f32 stream bytes.  The edge
-    weight moves into the kernel: a w-valued one-hot is built from the
-    DMA'd weight chunk, itself split hi/lo, and two bf16 MXU passes
-    against the packed stream produce lane-separated Σw·x_hi / Σw·x_lo
-    partials that XLA adds lane-halfwise afterwards.  Error ~2⁻¹⁶
-    relative (all four hi·hi/hi·lo/lo·hi/lo·lo cross terms are summed).
+  * "packed" (default): the node table is packed as hi/lo bf16 planes
+    side by side in lanes (d=64 → exactly 128 lanes, zero physical
+    padding: TPU HBM layouts pad the minor dim to 128 lanes anyway, so
+    a (N, 64) f32 row costs 512 B while the packed row costs 256 B
+    carrying the same f32-grade information).  The per-edge w·x[src]
+    product and its hi/lo re-split run on the XLA side, fused into the
+    gather's consumer, so the kernel sees a ready (EC, 2·d64) bf16
+    stream and does a SINGLE 0/1-one-hot bf16 MXU pass; the two output
+    lane halves are added afterwards.  Error ~2⁻¹⁶ relative.  (An
+    earlier variant split w hi/lo *inside* the kernel; Mosaic elided
+    the lossy f32→bf16→f32 roundtrip, collapsing the lo plane to 0 —
+    a ~2e-3 error on hardware that interpret mode could not reproduce.)
   * "f32x2": f32 message stream (pre-multiplied by w outside), split
     hi/lo in-kernel, two bf16 passes — f32-exact, full stream bytes.
   * "bf16": single bf16 pass, half bytes, ~3 significant digits.
@@ -68,11 +72,11 @@ BM = 512           # destination rows per program
 EC = 4096          # edges per DMA chunk
 SEG_MAX = 1 << 20  # max edges gathered per streamed segment
 
-# f32x2 measured f32-exact on hardware (4.8e-6); "packed" halves the
-# stream but currently shows ~2e-3 error on real TPU (hi/lo of the
-# in-kernel w-one-hot appears to collapse under Mosaic — under
-# investigation; CPU interpret mode is exact), so it is opt-in.
-DEFAULT_PRECISION = "f32x2"
+# "packed" carries f32-grade values in half the f32 stream bytes (the
+# w-multiply and hi/lo split run XLA-side, fused into the gather
+# consumer — see module docstring); f32x2 remains the bit-exact
+# fallback at full stream bytes.
+DEFAULT_PRECISION = "packed"
 
 
 @jax.tree_util.register_pytree_node_class
@@ -185,15 +189,40 @@ def prepare_pallas_graph(src: np.ndarray, dst: np.ndarray,
 
 
 def _hi_lo(x_f32):
+    """Split f32 into hi/lo bf16 planes (hi + lo ≈ x to ~2⁻¹⁶ rel).
+
+    In-kernel variant: convert-based round-to-nearest split.  Mosaic
+    compiles the converts literally, so this is safe INSIDE a Pallas
+    kernel only.  On the XLA side use :func:`_hi_lo_bits` — XLA's
+    ``allow_excess_precision`` simplification (on by default) elides
+    the f32→bf16→f32 convert pair, collapsing the lo plane to zero.
+    """
     hi = x_f32.astype(jnp.bfloat16)
     lo = (x_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
 
 
+def _hi_lo_bits(x_f32):
+    """Elision-proof hi/lo bf16 split for XLA-side code.
+
+    bf16 is bit-identical to the top 16 bits of f32, so the hi plane is
+    carved out with integer masking (truncation) — no f32→bf16→f32
+    convert pair exists for XLA's allow-excess-precision pass to elide.
+    ``hi.astype(f32)`` reconstructs exactly; lo keeps the next 8
+    mantissa bits → combined ~2⁻¹⁶ relative error."""
+    u = jax.lax.bitcast_convert_type(x_f32, jnp.uint32)
+    hi_u = u & jnp.uint32(0xFFFF0000)
+    hi_f = jax.lax.bitcast_convert_type(hi_u, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        (u >> 16).astype(jnp.uint16), jnp.bfloat16)
+    lo = (x_f32 - hi_f).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _spmm_kernel(bm, ec, mode, blk_lo_ref, bptr_ref,
-                 dst_ref, w_ref, msgs_ref, prev_ref, out_ref,
-                 acc_ref, chunk_buf, dst_buf, w_buf,
-                 sems, dst_sems, w_sems):
+                 dst_ref, msgs_ref, prev_ref, out_ref,
+                 acc_ref, chunk_buf, dst_buf,
+                 sems, dst_sems):
     i = pl.program_id(0)
     start = bptr_ref[i]
     end = bptr_ref[i + 1]
@@ -206,16 +235,12 @@ def _spmm_kernel(bm, ec, mode, blk_lo_ref, bptr_ref,
 
     def get_dma(slot, chunk_idx):
         c = c0 + chunk_idx
-        dmas = [
+        return [
             pltpu.make_async_copy(
                 msgs_ref.at[c], chunk_buf.at[slot], sems.at[slot]),
             pltpu.make_async_copy(
                 dst_ref.at[c], dst_buf.at[slot], dst_sems.at[slot]),
         ]
-        if mode == "packed":
-            dmas.append(pltpu.make_async_copy(
-                w_ref.at[c], w_buf.at[slot], w_sems.at[slot]))
-        return dmas
 
     @pl.when(n_chunks > 0)
     def _():
@@ -242,29 +267,20 @@ def _spmm_kernel(bm, ec, mode, blk_lo_ref, bptr_ref,
                       == (dst_row - block_base))
             m = chunk_buf[slot]                         # (EC, dpad)
             total = acc_ref[:]
-            if mode == "packed":
-                # w-valued one-hot split hi/lo vs the packed bf16
-                # stream: two passes give all four cross terms
-                ohw = jnp.where(onehot, w_buf[slot], 0.0)
-                parts = _hi_lo(ohw)
-            elif mode == "f32x2":
+            if mode == "f32x2":
                 oh16 = onehot.astype(jnp.bfloat16)
                 hi, lo = _hi_lo(m)
                 total = total + jax.lax.dot_general(
                     oh16, hi, dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                parts = None
                 total = total + jax.lax.dot_general(
                     oh16, lo, dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-            else:  # bf16
-                parts = (onehot.astype(jnp.bfloat16),)
-            if parts is not None:
-                for oh in parts:
-                    total = total + jax.lax.dot_general(
-                        oh, m,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+            else:  # packed / bf16: stream is ready, single 0/1 pass
+                total = total + jax.lax.dot_general(
+                    onehot.astype(jnp.bfloat16), m,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             acc_ref[:] = total
             return carry
 
@@ -282,7 +298,6 @@ def _make_kernel(bm: int, ec: int, max_blk: int, n_pad: int, dpad: int,
         grid=(max_blk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # dst chunks (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # w chunks (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),   # msg chunks (HBM)
             pl.BlockSpec((bm, dpad),                # running out block
                          lambda i, lo, ptr: (lo[0] + i, 0)),
@@ -293,8 +308,6 @@ def _make_kernel(bm: int, ec: int, max_blk: int, n_pad: int, dpad: int,
             pltpu.VMEM((bm, dpad), jnp.float32),      # accumulator
             pltpu.VMEM((2, ec, dpad), stream_dtype),
             pltpu.VMEM((2, 1, ec), jnp.int32),
-            pltpu.VMEM((2, 1, ec), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -303,8 +316,8 @@ def _make_kernel(bm: int, ec: int, max_blk: int, n_pad: int, dpad: int,
         functools.partial(_spmm_kernel, bm, ec, mode),
         out_shape=jax.ShapeDtypeStruct((n_pad, dpad), jnp.float32),
         grid_spec=grid_spec,
-        # flattened inputs: blk_lo(0) bptr(1) dst(2) w(3) msgs(4) prev(5)
-        input_output_aliases={5: 0},
+        # flattened inputs: blk_lo(0) bptr(1) dst(2) msgs(3) prev(4)
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -338,7 +351,6 @@ def _pallas_spmm_jit(src: jax.Array, dst: jax.Array, weight: jax.Array,
     n_pad = meta.n_blocks * meta.bm
     src2 = src.reshape(n_seg, seg)
     dst4 = dst.reshape(n_seg, seg // ec, 1, ec)
-    w4 = weight.reshape(n_seg, seg // ec, 1, ec).astype(jnp.float32)
     w2 = weight.reshape(n_seg, seg)
 
     if mode == "packed":
@@ -348,7 +360,7 @@ def _pallas_spmm_jit(src: jax.Array, dst: jax.Array, weight: jax.Array,
         if d64 != d:
             x = jnp.pad(x, ((0, 0), (0, d64 - d)))
         xf = x.astype(jnp.float32)
-        xh, xl = _hi_lo(xf)
+        xh, xl = _hi_lo_bits(xf)
         x_src = jnp.concatenate([xh, xl], axis=1)       # (N, 2·d64) bf16
         dpad = 2 * d64
     else:
@@ -364,18 +376,25 @@ def _pallas_spmm_jit(src: jax.Array, dst: jax.Array, weight: jax.Array,
     stream_dtype = jnp.float32 if mode == "f32x2" else jnp.bfloat16
 
     def body(out, seg_in):
-        lo_s, bptr_s, src_s, dst_s, wc_s, w_s = seg_in
-        msgs = x_src[src_s]
-        if mode != "packed":
-            # weight applied outside; in packed mode it rides the
-            # in-kernel w-valued one-hot instead
-            msgs = msgs * w_s[:, None].astype(msgs.dtype)
-        msgs3 = msgs.astype(stream_dtype).reshape(seg // ec, ec, dpad)
-        return kernel(lo_s, bptr_s, dst_s, wc_s, msgs3, out), None
+        lo_s, bptr_s, src_s, dst_s, w_s = seg_in
+        msgs = x_src.at[src_s].get(mode="promise_in_bounds")
+        if mode == "packed":
+            # reconstruct w·x per edge in f32 and re-split hi/lo —
+            # fuses into the gather's consumer, so the kernel sees a
+            # ready bf16 stream and runs a single 0/1-one-hot pass
+            m32 = (msgs[:, :d64].astype(jnp.float32)
+                   + msgs[:, d64:].astype(jnp.float32)) * w_s[:, None]
+            mh, ml = _hi_lo_bits(m32)
+            msgs = jnp.concatenate([mh, ml], axis=1)
+        else:
+            msgs = (msgs * w_s[:, None].astype(msgs.dtype)
+                    ).astype(stream_dtype)
+        msgs3 = msgs.reshape(seg // ec, ec, dpad)
+        return kernel(lo_s, bptr_s, dst_s, msgs3, out), None
 
     out0 = jnp.zeros((n_pad, dpad), jnp.float32)
     out, _ = jax.lax.scan(
-        body, out0, (meta.blk_lo, meta.bptr, src2, dst4, w4, w2))
+        body, out0, (meta.blk_lo, meta.bptr, src2, dst4, w2))
     if mode == "packed":
         out = out[:, :d64] + out[:, d64:]
     return out[:, :d]

@@ -70,18 +70,25 @@ class Graph:
     block_ptr: object | None = None      # PallasMeta (streaming kernel)
     rev_block_ptr: object | None = None  # ... for the transpose pass
     nnz: int | None = None               # real edges (excl. pallas pad)
+    # weight already permuted to the transposed edge ordering
+    # (= weight[rev_edge_id]).  A 12M-element XLA gather runs at
+    # ~5 ns/row on v5e (~60 ms at gowalla scale), so the backward must
+    # NOT recompute it per layer: build_graph precomputes it for static
+    # weights; with_weight() clears it and the backward falls back to
+    # the per-call gather only for dynamically re-weighted graphs.
+    rev_weight: jax.Array | None = None
 
     def tree_flatten(self):
         return ((self.src, self.dst, self.weight, self.rev_src,
                  self.rev_dst, self.rev_edge_id, self.block_ptr,
-                 self.rev_block_ptr),
+                 self.rev_block_ptr, self.rev_weight),
                 (self.n_nodes, self.n_src_nodes, self.nnz))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        src, dst, weight, rs, rd, re, bp, rbp = children
+        src, dst, weight, rs, rd, re, bp, rbp, rw = children
         return cls(src, dst, weight, rs, rd, re, aux[0], aux[1],
-                   bp, rbp, aux[2])
+                   bp, rbp, aux[2], rw)
 
     @property
     def n_edges(self) -> int:
@@ -97,18 +104,27 @@ class Graph:
         if self.rev_src is None:
             raise ValueError("graph built without reverse ordering")
         inv = jnp.argsort(self.rev_edge_id)
+        rw = (self.weight[self.rev_edge_id] if self.rev_weight is None
+              else self.rev_weight)
         return Graph(
             src=self.rev_src, dst=self.rev_dst,
-            weight=self.weight[self.rev_edge_id],
+            weight=rw,
             # transpose-of-transpose backward list is this graph's own
             # dst-sorted edge list; edge k there is rev edge inv[k]
             rev_src=self.src, rev_dst=self.dst, rev_edge_id=inv,
             n_nodes=self.n_src_nodes, n_src_nodes=self.n_nodes,
             block_ptr=self.rev_block_ptr, rev_block_ptr=self.block_ptr,
-            nnz=self.nnz)
+            nnz=self.nnz,
+            # rw[inv] = weight[reid][inv] = weight
+            rev_weight=self.weight)
 
-    def with_weight(self, weight: jax.Array) -> "Graph":
-        return replace(self, weight=weight)
+    def with_weight(self, weight: jax.Array,
+                    rev_weight: jax.Array | None = None) -> "Graph":
+        """New graph with re-weighted edges (dropout / augmentation).
+        Pass ``rev_weight`` (= weight[rev_edge_id]) if you can compute
+        it cheaply (e.g. once per epoch); otherwise the backward pays a
+        per-call (E,) gather to rebuild it."""
+        return replace(self, weight=weight, rev_weight=rev_weight)
 
 
 def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
@@ -135,12 +151,13 @@ def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     if sort:
         order = np.argsort(dst, kind="stable")
         src, dst, weight = src[order], dst[order], weight[order]
-    rev_src = rev_dst = rev_eid = None
+    rev_src = rev_dst = rev_eid = rev_w = None
     if with_reverse:
         rev_order = np.argsort(src, kind="stable").astype(np.int32)
         rev_src = dst[rev_order]
         rev_dst = src[rev_order]
         rev_eid = rev_order
+        rev_w = weight[rev_order]
         if with_pallas:
             from recbole_gnn_tpu.ops.pallas_spmm import build_pallas_meta
             rev_block_ptr = build_pallas_meta(rev_dst, n_src_nodes)
@@ -148,7 +165,7 @@ def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     return Graph(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(weight),
                  as_j(rev_src), as_j(rev_dst), as_j(rev_eid),
                  int(n_nodes), int(n_src_nodes),
-                 block_ptr, rev_block_ptr, int(nnz))
+                 block_ptr, rev_block_ptr, int(nnz), as_j(rev_w))
 
 
 # peak bytes allowed for the materialized (E, D) message stream before
@@ -236,6 +253,7 @@ def spmm(graph: Graph, x: jax.Array,
 
     src, dst = graph.src, graph.dst
     rsrc, rdst, reid = graph.rev_src, graph.rev_dst, graph.rev_edge_id
+    rev_w = graph.rev_weight
     n_out, n_in = graph.n_nodes, graph.n_src_nodes
     bp, rbp = graph.block_ptr, graph.rev_block_ptr
     # the streaming kernel gathers one bounded segment per scan step —
@@ -257,8 +275,11 @@ def spmm(graph: Graph, x: jax.Array,
 
     def _bwd(res, g):
         w, x_ = res
-        # dL/dx[s] = Σ_{e: src[e]=s} w[e]·g[dst[e]] — transpose SpMM
-        rw = w[reid]
+        # dL/dx[s] = Σ_{e: src[e]=s} w[e]·g[dst[e]] — transpose SpMM.
+        # Use the precomputed transposed weights when available: the
+        # (E,) gather w[reid] costs ~5 ns/row on v5e (~60 ms/layer at
+        # gowalla scale) if paid per backward.
+        rw = rev_w if rev_w is not None else w[reid]
         if use_pallas and rbp is not None:
             from recbole_gnn_tpu.ops.pallas_spmm import pallas_spmm
             gx = pallas_spmm(rsrc, rdst, rw, g, rbp)[:n_in]

@@ -44,10 +44,18 @@ def create_dataset(config):
         # runtime knob for the streaming SpMM stream format (packed /
         # f32x2 / bf16) — a module default, since Graphs don't carry
         # config through jit
+        if str(prec) not in ("packed", "f32x2", "bf16"):
+            raise ValueError(
+                f"pallas_spmm_precision must be packed/f32x2/bf16, "
+                f"got {prec!r}")
         from recbole_gnn_tpu.ops import pallas_spmm as _ps
         _ps.DEFAULT_PRECISION = str(prec)
     impl = config["sparse_spmm_impl"]
     if impl:
+        if str(impl) not in ("xla", "pallas"):
+            raise ValueError(
+                f"sparse_spmm_impl must be 'xla' or 'pallas', got "
+                f"{impl!r}")
         from recbole_gnn_tpu.ops import spmm as _spmm_mod
         _spmm_mod.SPMM_IMPL = str(impl)
     import os
