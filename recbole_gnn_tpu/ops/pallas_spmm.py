@@ -297,8 +297,8 @@ def _make_kernel(bm: int, ec: int, max_blk: int, n_pad: int, dpad: int,
         num_scalar_prefetch=2,          # blk_lo, bptr
         grid=(max_blk,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # dst chunks (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # msg chunks (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # dst chunks (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # msg chunks (HBM)
             pl.BlockSpec((bm, dpad),                # running out block
                          lambda i, lo, ptr: (lo[0] + i, 0)),
         ],

@@ -60,7 +60,7 @@ def run(n_pass):
     d3 = d_.reshape(e//EC, 1, EC)
     n_blocks = -(-N//BM)
     gs = pltpu.PrefetchScalarGridSpec(num_scalar_prefetch=1, grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((BM,dpad), lambda i,*_: (i,0), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((BM,dpad),jnp.float32), pltpu.VMEM((2,EC,dpad),jnp.float32),
                         pltpu.VMEM((2,1,EC),jnp.int32), pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))])
