@@ -1,11 +1,13 @@
-"""Grid hyper-parameter tuning (reference: run_hyper.py + [recbole]
-HyperTuning with algo='exhaustive').
+"""Hyper-parameter tuning (reference: run_hyper.py + [recbole]
+HyperTuning; the reference runs algo='exhaustive', [recbole] also
+offers sampling algorithms — mirrored here as algo='random').
 
 Params-file format (one line per hyperparameter, [recbole] style):
     learning_rate choice [0.01,0.005,0.001]
     n_layers choice [1,2,3]
-Only ``choice`` is meaningful for exhaustive search; ``uniform``/
-``loguniform`` lines are sampled on a small fixed grid.
+    reg_weight loguniform [1e-5, 1e-2]
+For exhaustive search ``uniform``/``loguniform`` lines are sampled on a
+small fixed grid; ``random`` draws them continuously (seeded).
 """
 
 from __future__ import annotations
@@ -18,8 +20,10 @@ import yaml
 from recbole_gnn_tpu.quick_start import objective_function
 
 
-def parse_params_file(path: str) -> dict[str, list]:
-    space: dict[str, list] = {}
+def parse_params_file_raw(path: str) -> dict[str, tuple]:
+    """{name: (kind, payload)} — choice keeps its value list,
+    uniform/loguniform keep their (lo, hi) bounds."""
+    space: dict[str, tuple] = {}
     with open(path, "r", encoding="utf-8") as f:
         for line in f:
             line = line.strip()
@@ -27,35 +31,59 @@ def parse_params_file(path: str) -> dict[str, list]:
                 continue
             name, kind, rest = line.split(None, 2)
             if kind == "choice":
-                space[name] = list(yaml.safe_load(rest))
+                space[name] = ("choice", list(yaml.safe_load(rest)))
             elif kind in ("uniform", "loguniform"):
-                lo, hi = yaml.safe_load(rest.replace(" ", ","))[0:2] \
-                    if isinstance(yaml.safe_load(rest), list) else (None, None)
-                if lo is None:
+                loaded = yaml.safe_load(rest)
+                if isinstance(loaded, list):
+                    lo, hi = float(loaded[0]), float(loaded[1])
+                else:
                     parts = rest.replace(",", " ").split()
                     lo, hi = float(parts[0]), float(parts[1])
-                if kind == "uniform":
-                    space[name] = list(np.linspace(lo, hi, 5))
-                else:
-                    space[name] = list(np.logspace(np.log10(lo),
-                                                   np.log10(hi), 5))
+                space[name] = (kind, (lo, hi))
             else:
                 raise ValueError(f"unknown space kind {kind!r}")
     return space
 
 
+def _gridded(raw: dict[str, tuple]) -> dict[str, list]:
+    grid: dict[str, list] = {}
+    for name, (kind, payload) in raw.items():
+        if kind == "choice":
+            grid[name] = list(payload)
+        elif kind == "uniform":
+            grid[name] = list(np.linspace(*payload, 5))
+        else:
+            lo, hi = payload
+            grid[name] = list(np.logspace(np.log10(lo), np.log10(hi), 5))
+    return grid
+
+
+def parse_params_file(path: str) -> dict[str, list]:
+    return _gridded(parse_params_file_raw(path))
+
+
 class HyperTuning:
-    """Exhaustive grid search with result export."""
+    """Exhaustive grid / seeded random search with result export."""
 
     def __init__(self, objective=objective_function, algo: str = "exhaustive",
                  params_file: str | None = None,
                  space: dict[str, list] | None = None,
                  fixed_config_file_list: list[str] | None = None,
-                 fixed_config_dict: dict | None = None):
-        if algo != "exhaustive":
-            raise ValueError("only exhaustive grid search is supported")
+                 fixed_config_dict: dict | None = None,
+                 max_evals: int = 30, seed: int = 2020):
+        if algo not in ("exhaustive", "random"):
+            raise ValueError(
+                f"algo must be 'exhaustive' or 'random', got {algo!r}")
+        self.algo = algo
+        self.max_evals = int(max_evals)
+        self.seed = int(seed)
         self.objective = objective
-        self.space = space or parse_params_file(params_file)
+        if space is not None:
+            self.raw_space = {k: ("choice", list(v))
+                              for k, v in space.items()}
+        else:
+            self.raw_space = parse_params_file_raw(params_file)
+        self.space = _gridded(self.raw_space)
         self.fixed_config_file_list = fixed_config_file_list
         self.fixed_config_dict = dict(fixed_config_dict or {})
         self.params2result: dict[str, dict] = {}
@@ -63,10 +91,34 @@ class HyperTuning:
         self.best_score: float | None = None
         self.best_result: dict | None = None
 
-    def run(self):
+    def _iter_param_sets(self):
         names = sorted(self.space.keys())
-        for combo in itertools.product(*(self.space[n] for n in names)):
-            params = dict(zip(names, combo))
+        if self.algo == "exhaustive":
+            for combo in itertools.product(
+                    *(self.space[n] for n in names)):
+                yield dict(zip(names, combo))
+            return
+        rng = np.random.default_rng(self.seed)
+        seen: set[str] = set()
+        for _ in range(self.max_evals):
+            params = {}
+            for n in names:
+                kind, payload = self.raw_space[n]
+                if kind == "choice":
+                    params[n] = payload[rng.integers(len(payload))]
+                elif kind == "uniform":
+                    params[n] = float(rng.uniform(*payload))
+                else:   # loguniform
+                    lo, hi = np.log(payload[0]), np.log(payload[1])
+                    params[n] = float(np.exp(rng.uniform(lo, hi)))
+            key = str(params)
+            if key in seen:      # all-choice spaces can collide
+                continue
+            seen.add(key)
+            yield params
+
+    def run(self):
+        for params in self._iter_param_sets():
             cfg = dict(self.fixed_config_dict)
             cfg.update(params)
             result = self.objective(

@@ -14,8 +14,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-1e30)
+# python float, NOT jnp.float32(...): a module-level device scalar
+# initializes the JAX backend at import time, locking the platform
+# before quick_start's use_gpu=False can switch to CPU
+NEG_INF = float(np.float32(-1e30))
 
 
 GROUPED_TOPK_MIN_N = 1 << 16    # catalogs above this use the 2-stage cut

@@ -183,6 +183,16 @@ def run_recbole_gnn_tpu(model=None, dataset=None, config_file_list=None,
     config = Config(model=model, dataset=dataset,
                     config_file_list=config_file_list,
                     config_dict=config_dict)
+    if config["use_gpu"] is False:
+        # honor use_gpu=False ([recbole] key) by forcing the CPU
+        # backend.  Must be a post-import config update: the axon
+        # sitecustomize re-pins JAX_PLATFORMS at registration, so the
+        # env var alone is silently ignored.
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass   # backend already initialized (e.g. under pytest)
     init_seed(int(config["seed"] or 2020), bool(config["reproducibility"]))
     logger = init_logger(config)
     if verbose:

@@ -134,6 +134,29 @@ def test_hyper_tuning_grid(tmp_path):
     assert out.read_text().count("Test result") == 2
 
 
+def test_hyper_tuning_random(tmp_path):
+    from recbole_gnn_tpu.hyper import HyperTuning, parse_params_file_raw
+
+    pf = tmp_path / "params.hyper"
+    pf.write_text("embedding_size choice [8,16]\n"
+                  "learning_rate loguniform [1e-4, 1e-2]\n")
+    raw = parse_params_file_raw(str(pf))
+    assert raw["embedding_size"] == ("choice", [8, 16])
+    assert raw["learning_rate"][0] == "loguniform"
+
+    hp = HyperTuning(params_file=str(pf), algo="random", max_evals=2,
+                     fixed_config_dict=base_config_dict(model="BPR"))
+    best_params, best_result = hp.run()
+    assert len(hp.params2result) == 2
+    assert best_params["embedding_size"] in (8, 16)
+    assert 1e-4 <= best_params["learning_rate"] <= 1e-2
+    # seeded: a second instance draws the identical parameter sets
+    hp2 = HyperTuning(params_file=str(pf), algo="random", max_evals=2,
+                      fixed_config_dict=base_config_dict(model="BPR"))
+    assert [str(p) for p in hp2._iter_param_sets()] == \
+        list(hp.params2result.keys())
+
+
 def test_config_cascade_precedence(tmp_path):
     # model yaml < user file < config dict
     f = tmp_path / "user.yaml"
