@@ -289,21 +289,34 @@ def _spmm_kernel(bm, ec, mode, blk_lo_ref, bptr_ref,
     out_ref[:] = acc_ref[:]
 
 
-def _make_kernel(bm: int, ec: int, max_blk: int, n_pad: int, dpad: int,
-                 mode: str, interpret: bool):
-    """pallas_call for one segment's accumulate-into-out pass."""
+def _make_kernel(bm: int, ec: int, max_blk: int, n_blocks: int,
+                 dpad: int, mode: str, interpret: bool):
+    """pallas_call for one segment's accumulate-into-out pass.
+
+    The output carries ONE extra scratch block at the end (rows
+    [n_blocks·bm, (n_blocks+1)·bm)): a segment whose blk_lo + max_blk
+    overruns the real blocks maps the excess pass-through programs
+    there.  Without it the excess indices clamp onto the LAST real
+    block and overwrite it with a stale prefetched copy (the pipeline
+    fetches the revisited block before the owning program's write
+    lands) — silently corrupting the final rows at multi-segment
+    scale.  The excess programs all hit the same scratch index in a
+    consecutive tail, which Pallas handles as a legal revisit.
+    """
     stream_dtype = jnp.float32 if mode == "f32x2" else jnp.bfloat16
+
+    def out_index(i, lo, ptr):
+        return (jnp.minimum(lo[0] + i, n_blocks), 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # blk_lo, bptr
         grid=(max_blk,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # dst chunks (HBM)
             pl.BlockSpec(memory_space=pl.ANY),   # msg chunks (HBM)
-            pl.BlockSpec((bm, dpad),                # running out block
-                         lambda i, lo, ptr: (lo[0] + i, 0)),
+            pl.BlockSpec((bm, dpad), out_index),    # running out block
         ],
-        out_specs=pl.BlockSpec((bm, dpad),
-                               lambda i, lo, ptr: (lo[0] + i, 0)),
+        out_specs=pl.BlockSpec((bm, dpad), out_index),
         scratch_shapes=[
             pltpu.VMEM((bm, dpad), jnp.float32),      # accumulator
             pltpu.VMEM((2, ec, dpad), stream_dtype),
@@ -314,7 +327,8 @@ def _make_kernel(bm: int, ec: int, max_blk: int, n_pad: int, dpad: int,
     )
     return pl.pallas_call(
         functools.partial(_spmm_kernel, bm, ec, mode),
-        out_shape=jax.ShapeDtypeStruct((n_pad, dpad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(((n_blocks + 1) * bm, dpad),
+                                       jnp.float32),
         grid_spec=grid_spec,
         # flattened inputs: blk_lo(0) bptr(1) dst(2) msgs(3) prev(4)
         input_output_aliases={4: 0},
@@ -327,28 +341,34 @@ def _make_kernel(bm: int, ec: int, max_blk: int, n_pad: int, dpad: int,
 def pallas_spmm(src: jax.Array, dst: jax.Array, weight: jax.Array,
                 x: jax.Array, meta: PallasMeta,
                 precision: str | None = None,
-                interpret: bool = False) -> jax.Array:
+                interpret: bool = False,
+                barrier: bool = False) -> jax.Array:
     """out[d] = Σ_{e: dst[e]=d} w[e]·x[src[e]] — streaming Pallas kernel.
 
     Edges must be dst-sorted and padded to the segment layout
     (prepare_pallas_graph / pad_edges); ``meta`` carries the per-segment
     block pointers.  The per-segment message gather runs inside the
     scan, so peak HBM stays bounded by one segment regardless of edge
-    count.  Returns (meta.n_blocks · meta.bm, d) — slice [:n_nodes].
+    count.  Returns ((meta.n_blocks + 1) · meta.bm, d) — the final bm
+    rows are overrun-program scratch; slice [:n_nodes].
     """
     # the module default resolves OUTSIDE the jitted impl so changing
     # it (config pallas_spmm_precision) cannot hit a stale jit cache
     return _pallas_spmm_jit(src, dst, weight, x, meta,
-                            precision or DEFAULT_PRECISION, interpret)
+                            precision or DEFAULT_PRECISION, interpret,
+                            barrier)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "interpret", "barrier"))
 def _pallas_spmm_jit(src: jax.Array, dst: jax.Array, weight: jax.Array,
                      x: jax.Array, meta: PallasMeta,
-                     mode: str, interpret: bool) -> jax.Array:
+                     mode: str, interpret: bool,
+                     barrier: bool = False) -> jax.Array:
     d = x.shape[1]
     n_seg, seg, ec = meta.n_seg, meta.seg, meta.ec
-    n_pad = meta.n_blocks * meta.bm
+    # +1 scratch block for overrun pass-through programs (_make_kernel)
+    n_pad = (meta.n_blocks + 1) * meta.bm
     src2 = src.reshape(n_seg, seg)
     dst4 = dst.reshape(n_seg, seg // ec, 1, ec)
     w2 = weight.reshape(n_seg, seg)
@@ -371,13 +391,19 @@ def _pallas_spmm_jit(src: jax.Array, dst: jax.Array, weight: jax.Array,
             x = jnp.pad(x, ((0, 0), (0, dpad - d)))
         x_src = x
 
-    kernel = _make_kernel(meta.bm, ec, meta.max_blk, n_pad, dpad,
-                          mode, interpret)
+    kernel = _make_kernel(meta.bm, ec, meta.max_blk, meta.n_blocks,
+                          dpad, mode, interpret)
     stream_dtype = jnp.float32 if mode == "f32x2" else jnp.bfloat16
 
     def body(out, seg_in):
         lo_s, bptr_s, src_s, dst_s, w_s = seg_in
         msgs = x_src.at[src_s].get(mode="promise_in_bounds")
+        if barrier:
+            # keep the gather an unfused pure copy: fusing it with the
+            # multiply/split consumers makes XLA emit a row-serial
+            # gather loop (~14 ns/row) instead of the bulk copy form
+            # (~4-5 ns/row); the extra stream round-trip is ~1 ms/GB
+            msgs = jax.lax.optimization_barrier(msgs)
         if mode == "packed":
             # reconstruct w·x per edge in f32 and re-split hi/lo —
             # fuses into the gather's consumer, so the kernel sees a

@@ -30,8 +30,16 @@ N = 1_400_000
 E = 12_000_000
 ITERS = 5
 
-which = set(sys.argv[1:]) or {"g64f", "g128f", "g128b", "gsort",
-                              "scat", "spmm"}
+args = []
+for a in sys.argv[1:]:
+    if a.startswith("N="):
+        N = int(a[2:])
+    elif a.startswith("E="):
+        E = int(a[2:])
+    else:
+        args.append(a)
+which = set(args) or {"g64f", "g128f", "g128b", "gsort",
+                      "scat", "spmm"}
 
 rng = np.random.default_rng(0)
 idx = rng.integers(0, N, E).astype(np.int32)

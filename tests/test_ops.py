@@ -266,6 +266,39 @@ def test_pallas_spmm_streaming_multisegment():
                                    rtol=rtol, atol=atol, err_msg=prec)
 
 
+def test_pallas_spmm_block_overrun_segments():
+    """Regression: a segment whose blk_lo + max_blk overruns the real
+    destination blocks must not corrupt the LAST blocks.  Before the
+    scratch-block fix, the overrun pass-through programs' out index
+    clamped onto the last real block and overwrote it with a stale
+    prefetched copy — uniform dst at n >> bm with multiple segments
+    triggers it (first segment spans many blocks → large max_blk; a
+    later segment starts high → blk_lo + max_blk > n_blocks)."""
+    from recbole_gnn_tpu.ops.pallas_spmm import (
+        build_pallas_meta, pad_edges, pallas_spmm)
+    rng = np.random.default_rng(5)
+    n, e, d = 1000, 5000, 64
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)     # uniform → later segments start high
+    w = rng.normal(size=e).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    # default bm=512 → n_blocks=2; seg_max=4096 → 2 segments; segment 1
+    # has blk_lo=1 and the grid maps programs past block 1
+    s, d_, w_ = pad_edges(src, dst, w, n, seg_max=4096)
+    meta = build_pallas_meta(d_, n, seg_max=4096)
+    assert meta.n_seg > 1
+    assert int(np.asarray(meta.blk_lo).max()) + meta.max_blk > meta.n_blocks
+    msgs = x[jnp.asarray(s)] * jnp.asarray(w_)[:, None]
+    ref = jax.ops.segment_sum(msgs, jnp.asarray(d_), num_segments=n,
+                              indices_are_sorted=True)
+    for prec in ("packed", "f32x2"):
+        out = pallas_spmm(jnp.asarray(s), jnp.asarray(d_),
+                          jnp.asarray(w_), x, meta,
+                          precision=prec, interpret=True)[:n]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-4, err_msg=prec)
+
+
 def test_pallas_graph_vjp_matches_plain_graph():
     """build_graph(with_pallas=True) must give identical fwd/bwd on the
     non-TPU fallback path (padding + block ptrs are inert)."""
