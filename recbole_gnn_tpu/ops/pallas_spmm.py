@@ -2,12 +2,16 @@
 
 TPU-native replacement for torch_sparse CUDA SpMM (reference:
 recbole_gnn/model/layers.py:19-20), selectable via
-``sparse_spmm_impl: pallas``.  NOTE: on the current compiler
-generation (v5e / jax 0.9) XLA's *sorted* segment-sum is faster
-(4.9 ms vs 28.8 ms at 2M edges × dim 64 — scripts/diag/
-segsum_scale.py), so the XLA path is the default and this kernel is
-the hedge against compiler regressions of that path.  It exploits the
-dst-sorted edge layout:
+``sparse_spmm_impl: pallas``.  Honest carry-dependent measurements
+(v5e / jax 0.9, scripts/diag/{pallas_hw_check,primitives_bench}.py):
+this kernel wins at mid scale (37 ms vs XLA's ~49 ms at 2M edges ×
+dim 64) but loses slightly at gowalla scale (195 ms vs 178 ms at 12M
+edges / 1.4M nodes), where sparse actually engages — so the XLA
+sorted-segment-sum path stays the default and this kernel is the
+selectable alternative.  Both paths sit on the same ~14-16 ns/row
+composite floor: the per-edge row gather, not stream bandwidth or the
+reduction, is the bottleneck (halving stream bytes via the packed
+mode changes nothing).  It exploits the dst-sorted edge layout:
 
   grid      = one program per block of BM destination rows
   edges     = the EC-aligned chunks overlapping the block's edge range
@@ -34,7 +38,11 @@ through.
 **Precision modes** (the gather + message stream is the bandwidth
 floor — these trade stream bytes against exactness):
 
-  * "packed" (default): the node table is packed as hi/lo bf16 planes
+  * "f32x2" (default): f32 message stream (pre-multiplied by w
+    outside), split hi/lo in-kernel, two bf16 passes — f32-exact, and
+    measured fastest (the stream-width savings of "packed" buy
+    nothing; see above).
+  * "packed": the node table is packed as hi/lo bf16 planes
     side by side in lanes (d=64 → exactly 128 lanes, zero physical
     padding: TPU HBM layouts pad the minor dim to 128 lanes anyway, so
     a (N, 64) f32 row costs 512 B while the packed row costs 256 B
@@ -46,8 +54,6 @@ floor — these trade stream bytes against exactness):
     earlier variant split w hi/lo *inside* the kernel; Mosaic elided
     the lossy f32→bf16→f32 roundtrip, collapsing the lo plane to 0 —
     a ~2e-3 error on hardware that interpret mode could not reproduce.)
-  * "f32x2": f32 message stream (pre-multiplied by w outside), split
-    hi/lo in-kernel, two bf16 passes — f32-exact, full stream bytes.
   * "bf16": single bf16 pass, half bytes, ~3 significant digits.
 
 Layout notes: per-matmul issue overhead dominates at small K, so each
@@ -72,11 +78,11 @@ BM = 512           # destination rows per program
 EC = 4096          # edges per DMA chunk
 SEG_MAX = 1 << 20  # max edges gathered per streamed segment
 
-# "packed" carries f32-grade values in half the f32 stream bytes (the
-# w-multiply and hi/lo split run XLA-side, fused into the gather
-# consumer — see module docstring); f32x2 remains the bit-exact
-# fallback at full stream bytes.
-DEFAULT_PRECISION = "packed"
+# f32x2 is both the exact mode and the measured-fastest (v5e, post
+# overrun fix: 37 ms vs packed 40 ms at 2M edges; 195 vs 214 ms at
+# gowalla scale — halving stream bytes does not pay because the
+# bottleneck is per-row gather cost, not stream bandwidth).
+DEFAULT_PRECISION = "f32x2"
 
 
 @jax.tree_util.register_pytree_node_class

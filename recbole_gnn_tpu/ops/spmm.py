@@ -7,12 +7,14 @@ recbole_gnn/model/layers.py:19-20, lightgcl.py:119-142).  The graph is a
 Two device implementations, selected by ``SPMM_IMPL``
 (config ``sparse_spmm_impl``):
   * "xla" (default): gather + ``indices_are_sorted=True`` segment-sum.
-    Measured on v5e / jax 0.9: 4.9 ms for 2M edges × dim 64, 19.8 ms
-    at gowalla scale (12M edges) — ~200-330 GB/s effective
-    (scripts/diag/segsum_scale.py).
+    Honest carry-dependent measurements on v5e / jax 0.9
+    (scripts/diag/primitives_bench.py): ~49 ms for 2M edges × dim 64,
+    178 ms at gowalla scale (12M edges, 1.4M nodes) ≈ 15 ns/edge —
+    the per-edge row-gather cost, which bounds BOTH impls.
   * "pallas": the streaming one-hot-MXU kernel (ops/pallas_spmm.py),
-    bounded-HBM at any edge count; kept selectable for compiler
-    generations where the XLA sorted path regresses.
+    bounded-HBM at any edge count; faster at mid scale (37 ms at 2M
+    edges) but slightly slower at gowalla scale (195 ms), so it stays
+    the selectable alternative.
 
 Design notes (TPU-first):
   * static nnz — edge dropout / augmentation zero weights instead of
