@@ -4,11 +4,10 @@ TPU-native replacement for torch_sparse CUDA SpMM (reference:
 recbole_gnn/model/layers.py:19-20), selectable via
 ``sparse_spmm_impl: pallas``.  Honest carry-dependent measurements
 (v5e / jax 0.9, scripts/diag/{pallas_hw_check,primitives_bench}.py):
-this kernel wins at mid scale (37 ms vs XLA's ~49 ms at 2M edges ×
-dim 64) but loses slightly at gowalla scale (195 ms vs 178 ms at 12M
-edges / 1.4M nodes), where sparse actually engages — so the XLA
-sorted-segment-sum path stays the default and this kernel is the
-selectable alternative.  Both paths sit on the same ~14-16 ns/row
+37 ms at 2M edges × dim 64 and 195 ms at gowalla scale (12M edges /
+1.4M nodes) vs the XLA sorted-segment-sum path's 27.9 / 178 ms — so
+the XLA path stays the default and this kernel is the selectable
+hedge.  Both paths sit on the same ~14-16 ns/row
 composite floor: the per-edge row gather, not stream bandwidth or the
 reduction, is the bottleneck (halving stream bytes via the packed
 mode changes nothing).  It exploits the dst-sorted edge layout:

@@ -8,13 +8,14 @@ Two device implementations, selected by ``SPMM_IMPL``
 (config ``sparse_spmm_impl``):
   * "xla" (default): gather + ``indices_are_sorted=True`` segment-sum.
     Honest carry-dependent measurements on v5e / jax 0.9
-    (scripts/diag/primitives_bench.py): ~49 ms for 2M edges × dim 64,
-    178 ms at gowalla scale (12M edges, 1.4M nodes) ≈ 15 ns/edge —
-    the per-edge row-gather cost, which bounds BOTH impls.
+    (scripts/diag/primitives_bench.py): 27.9 ms for 2M edges × dim
+    64, 178 ms at gowalla scale (12M edges, 1.4M nodes) ≈ 14 ns/edge
+    — the per-edge row-gather composite cost, which bounds BOTH
+    impls.
   * "pallas": the streaming one-hot-MXU kernel (ops/pallas_spmm.py),
-    bounded-HBM at any edge count; faster at mid scale (37 ms at 2M
-    edges) but slightly slower at gowalla scale (195 ms), so it stays
-    the selectable alternative.
+    bounded-HBM at any edge count; within ~10-30% of the XLA path
+    (37 ms at 2M, 195 ms at gowalla) — the selectable hedge against
+    regressions of the sorted-segment-sum lowering.
 
 Design notes (TPU-first):
   * static nnz — edge dropout / augmentation zero weights instead of

@@ -35,13 +35,18 @@ def gen():
 
 
 def run():
+    # batch size as argv[1]: the per-step cost is dominated by the
+    # fixed full-graph propagation (6 SpMMs fwd+bwd), so larger
+    # batches cut steps/epoch near-linearly — the TPU-native lever
+    # for epoch time at this scale (MXU prefers big batches anyway)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     from recbole_gnn_tpu.quick_start import run_recbole_gnn_tpu
     t0 = time.time()
     res = run_recbole_gnn_tpu(
         model="LightGCN", dataset="gowalla_synth",
         config_dict={
             "data_path": "/tmp/synth_data", "epochs": 2,
-            "n_layers": 3, "train_batch_size": 4096,
+            "n_layers": 3, "train_batch_size": batch,
             "eval_batch_size": 256,           # B x 1.3M score rows
             "eval_step": 2, "enable_sparse": True,
             # chunked-scan dispatch: 64 steps per device dispatch —
