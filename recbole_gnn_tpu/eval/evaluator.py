@@ -221,7 +221,7 @@ class Evaluator:
                           else self._general_candidates_batch)
                     sums = fn(user_all, item_all, batch)
                     self._accumulate(totals, sums)
-        w = max(totals.pop("__weight__", 0.0), 1e-12)
+        w = max(float(totals.pop("__weight__", 0.0)), 1e-12)
         out = {}
         for name in self.metrics:
             for k in self.topk:
@@ -232,5 +232,12 @@ class Evaluator:
 
     @staticmethod
     def _accumulate(totals, sums):
+        # device-lazy adds: a float() here would force a device→host
+        # sync EVERY batch — over the remote tunnel that round-trip
+        # (~0.3-0.4 s) dominated large-catalog eval (165 s for 391
+        # batches at gowalla scale).  Async dispatch pipelines the
+        # whole pass; the single sync happens in evaluate()'s final
+        # float() conversions.
         for k, v in sums.items():
-            totals[k] = totals.get(k, 0.0) + float(v)
+            prev = totals.get(k)
+            totals[k] = v if prev is None else prev + v
