@@ -80,8 +80,7 @@ class Evaluator:
         return self._metric_sums(topk_items, batch["pos_items"],
                                  batch["pos_len"], batch["weight"])
 
-    @partial(jax.jit, static_argnums=0)
-    def _general_full_sort_batch(self, user_all, item_all, batch):
+    def _full_sort_sums(self, user_all, item_all, batch):
         users = batch["user_id"]
         u_e = user_all[users]
         scores = jnp.dot(u_e, item_all.T, preferred_element_type=jnp.float32)
@@ -94,6 +93,22 @@ class Evaluator:
         _, idx = masked_topk(scores, self.max_k)
         return self._metric_sums(idx, batch["pos_items"], batch["pos_len"],
                                  batch["weight"])
+
+    @partial(jax.jit, static_argnums=0)
+    def _general_full_sort_batch(self, user_all, item_all, batch):
+        return self._full_sort_sums(user_all, item_all, batch)
+
+    @partial(jax.jit, static_argnums=0)
+    def _general_full_sort_scan(self, user_all, item_all, stacked):
+        """Whole eval pass in ONE device dispatch (``eval_scan: true``):
+        a lax.scan over the stacked (n_batches, B, ...) eval arrays.
+        Per-batch dispatch latency (~0.2-0.4 s over a remote tunnel)
+        otherwise dominates large-catalog eval; compile happens once
+        per eval shape and is reused every eval_step."""
+        def body(carry, batch):
+            return carry, self._full_sort_sums(user_all, item_all, batch)
+        _, ys = jax.lax.scan(body, 0, stacked)
+        return {k: v.sum(0) for k, v in ys.items()}
 
     @partial(jax.jit, static_argnums=0)
     def _general_candidates_batch(self, user_all, item_all, batch):
@@ -215,6 +230,13 @@ class Evaluator:
                 for batch in loader:
                     sums = dist_fn(user_all, item_all, batch)
                     self._accumulate(totals, sums)
+            elif mode == "full" and bool(self.config["eval_scan"]):
+                batches = list(loader)
+                stacked = {k: np.stack([b[k] for b in batches])
+                           for k in batches[0]}
+                sums = self._general_full_sort_scan(
+                    user_all, item_all, stacked)
+                self._accumulate(totals, sums)
             else:
                 for batch in loader:
                     fn = (self._general_full_sort_batch if mode == "full"

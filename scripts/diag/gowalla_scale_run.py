@@ -52,7 +52,7 @@ def run():
             # chunked-scan dispatch: 64 steps per device dispatch —
             # per-step tunnel latency dominated the epoch otherwise,
             # and the whole-epoch scan compiles too slowly remotely
-            "epoch_scan": 64,
+            "epoch_scan": 64, "eval_scan": True,
             "load_col": {"inter": ["user_id", "item_id", "timestamp"]},
             "checkpoint_dir": "/tmp/rgt_gowalla", "state": "INFO"},
         verbose=True)

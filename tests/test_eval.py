@@ -77,6 +77,35 @@ def test_full_evaluation_counts_only_real_rows():
         np.testing.assert_allclose(r1[k], r2[k], rtol=1e-5, atol=1e-7)
 
 
+def test_eval_scan_matches_per_batch_loop():
+    """eval_scan: true (whole pass as one lax.scan dispatch) must give
+    the same metrics as the per-batch loop."""
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.eval.evaluator import Evaluator
+    import jax
+    from conftest import base_config_dict
+
+    # batch size NOT dividing the user count → padded final batch
+    cfg = Config(config_dict=base_config_dict(
+        model="BPR", eval_batch_size=37))
+    ds = create_dataset(cfg)
+    (_, tr_ds), (vloader, _), _ = data_preparation(cfg, ds)
+    model = get_model("BPR")(cfg, tr_ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    r_loop = Evaluator(cfg, model).evaluate(params, {}, vloader)
+
+    cfg2 = Config(config_dict=base_config_dict(
+        model="BPR", eval_batch_size=37, eval_scan=True))
+    (_, _), (vloader2, _), _ = data_preparation(cfg2, ds)
+    r_scan = Evaluator(cfg2, model).evaluate(params, {}, vloader2)
+    assert set(r_loop) == set(r_scan)
+    for k in r_loop:
+        np.testing.assert_allclose(r_scan[k], r_loop[k],
+                                   rtol=1e-6, atol=1e-8, err_msg=k)
+
+
 def test_uni100_candidate_ranking_semantics():
     """uniN eval ranks within pos+sampled-negative candidates; a model
     scoring the positive highest must get perfect metrics."""
