@@ -231,12 +231,26 @@ class Evaluator:
                     sums = dist_fn(user_all, item_all, batch)
                     self._accumulate(totals, sums)
             elif mode == "full" and bool(self.config["eval_scan"]):
+                # eval_scan: true → whole pass in one dispatch;
+                # eval_scan: K (int > 1) → chunks of K batches per
+                # dispatch (one compile, reused: the last chunk is
+                # padded with weight-0 copies of batch 0)
                 batches = list(loader)
-                stacked = {k: np.stack([b[k] for b in batches])
-                           for k in batches[0]}
-                sums = self._general_full_sort_scan(
-                    user_all, item_all, stacked)
-                self._accumulate(totals, sums)
+                cfg_scan = self.config["eval_scan"]
+                k = (int(cfg_scan) if not isinstance(cfg_scan, bool)
+                     else len(batches))
+                k = max(1, min(k, len(batches)))
+                if len(batches) % k:
+                    dead = {kk: (np.zeros_like(v) if kk == "weight" else v)
+                            for kk, v in batches[0].items()}
+                    batches += [dead] * (k - len(batches) % k)
+                for lo in range(0, len(batches), k):
+                    stacked = {kk: np.stack([b[kk] for b in
+                                             batches[lo:lo + k]])
+                               for kk in batches[0]}
+                    sums = self._general_full_sort_scan(
+                        user_all, item_all, stacked)
+                    self._accumulate(totals, sums)
             else:
                 for batch in loader:
                     fn = (self._general_full_sort_batch if mode == "full"

@@ -96,14 +96,16 @@ def test_eval_scan_matches_per_batch_loop():
     params = model.init_params(jax.random.PRNGKey(0))
     r_loop = Evaluator(cfg, model).evaluate(params, {}, vloader)
 
-    cfg2 = Config(config_dict=base_config_dict(
-        model="BPR", eval_batch_size=37, eval_scan=True))
-    (_, _), (vloader2, _), _ = data_preparation(cfg2, ds)
-    r_scan = Evaluator(cfg2, model).evaluate(params, {}, vloader2)
-    assert set(r_loop) == set(r_scan)
-    for k in r_loop:
-        np.testing.assert_allclose(r_scan[k], r_loop[k],
-                                   rtol=1e-6, atol=1e-8, err_msg=k)
+    for scan_cfg in (True, 4):     # whole-pass and chunked (K=4, with
+        cfg2 = Config(config_dict=base_config_dict(  # a padded chunk)
+            model="BPR", eval_batch_size=37, eval_scan=scan_cfg))
+        (_, _), (vloader2, _), _ = data_preparation(cfg2, ds)
+        assert len(vloader2) % 4 != 0 or scan_cfg is True
+        r_scan = Evaluator(cfg2, model).evaluate(params, {}, vloader2)
+        assert set(r_loop) == set(r_scan)
+        for k in r_loop:
+            np.testing.assert_allclose(r_scan[k], r_loop[k],
+                                       rtol=1e-6, atol=1e-8, err_msg=k)
 
 
 def test_uni100_candidate_ranking_semantics():
