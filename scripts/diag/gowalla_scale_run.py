@@ -52,7 +52,10 @@ def run():
             # chunked-scan dispatch: 64 steps per device dispatch —
             # per-step tunnel latency dominated the epoch otherwise,
             # and the whole-epoch scan compiles too slowly remotely
-            "epoch_scan": 64, "eval_scan": True,
+            # eval_scan chunked: the whole-pass (392-batch) scanned
+            # eval program crashes the TPU worker at this scale;
+            # 32-batch chunks keep one compile + 13 dispatches
+            "epoch_scan": 64, "eval_scan": 32,
             "load_col": {"inter": ["user_id", "item_id", "timestamp"]},
             "checkpoint_dir": "/tmp/rgt_gowalla", "state": "INFO"},
         verbose=True)
