@@ -237,8 +237,15 @@ class Evaluator:
                 # padded with weight-0 copies of batch 0)
                 batches = list(loader)
                 cfg_scan = self.config["eval_scan"]
-                k = (int(cfg_scan) if not isinstance(cfg_scan, bool)
-                     else len(batches))
+                if isinstance(cfg_scan, bool):
+                    # auto-chunk: one dispatch scoring more than ~8e9
+                    # (batch · n_items) entries crashes the TPU worker
+                    # at web scale (observed at 392 × 256 × 1.12M);
+                    # 8e9/dispatch is hardware-verified (K=32 there)
+                    B = batches[0]["user_id"].shape[0]
+                    k = int(max(1, 8_000_000_000 // max(1, B * self.n_items)))
+                else:
+                    k = int(cfg_scan)
                 k = max(1, min(k, len(batches)))
                 if len(batches) % k:
                     dead = {kk: (np.zeros_like(v) if kk == "weight" else v)
