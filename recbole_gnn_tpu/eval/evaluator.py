@@ -236,6 +236,10 @@ class Evaluator:
                 # dispatch (one compile, reused: the last chunk is
                 # padded with weight-0 copies of batch 0)
                 batches = list(loader)
+                if not batches:
+                    # degrade like the per-batch loop would: no sums →
+                    # empty result (ADVICE r2: batches[0] IndexError)
+                    return {}
                 cfg_scan = self.config["eval_scan"]
                 if isinstance(cfg_scan, bool):
                     # auto-chunk: one dispatch scoring more than ~8e9

@@ -100,7 +100,15 @@ class HyperTuning:
             return
         rng = np.random.default_rng(self.seed)
         seen: set[str] = set()
-        for _ in range(self.max_evals):
+        # duplicate draws do NOT consume evaluation budget: loop until
+        # max_evals UNIQUE sets are yielded (small all-choice spaces
+        # collide often), with a bounded retry cap so an exhausted
+        # space (fewer unique combos than max_evals) still terminates
+        yielded = 0
+        attempts = 0
+        max_attempts = max(100, 50 * self.max_evals)
+        while yielded < self.max_evals and attempts < max_attempts:
+            attempts += 1
             params = {}
             for n in names:
                 kind, payload = self.raw_space[n]
@@ -112,9 +120,10 @@ class HyperTuning:
                     lo, hi = np.log(payload[0]), np.log(payload[1])
                     params[n] = float(np.exp(rng.uniform(lo, hi)))
             key = str(params)
-            if key in seen:      # all-choice spaces can collide
+            if key in seen:
                 continue
             seen.add(key)
+            yielded += 1
             yield params
 
     def run(self):

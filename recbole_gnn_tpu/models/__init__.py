@@ -5,6 +5,15 @@ recbole_gnn/utils.py:16-165): `get_model`, dataset-class resolution
 precedence, and the SOCIAL model type.  The zoo is a superset of the
 reference's 20 GNN models plus the RecBole fallback baselines its
 tests exercise (BPR, NeuMF, GRU4Rec, NARM, SASRec — test_model.py).
+
+When ADDING a model whose edge weights are a *function of parameters*
+(GAT-style attention over a Graph): ops.spmm defaults to
+``weight_grad=False`` — the weight cotangent is a silent zeros
+placeholder.  Pass ``weight_grad=True`` at every spmm call or the
+attention gets no gradient (contract pinned by
+tests/test_ops.py::test_spmm_weight_grad_default_is_zero).  Every
+current model is safe: dropout/augmentation weights come from RNG
+masks, never from params.
 """
 
 from __future__ import annotations

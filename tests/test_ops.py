@@ -188,6 +188,21 @@ def test_spmm_weight_grad():
     np.testing.assert_allclose(gw, want, rtol=1e-4, atol=1e-4)
 
 
+def test_spmm_weight_grad_default_is_zero():
+    """Contract pin: spmm's DEFAULT is weight_grad=False — the weight
+    cotangent is an all-zeros placeholder.  Any future model whose edge
+    weights depend on params (attention) MUST pass weight_grad=True
+    (see models/__init__.py registry doc)."""
+    rng = np.random.default_rng(9)
+    src, dst, w, n = random_graph(rng, n=20, e=60)
+    g = build_graph(src, dst, w, n)
+    x = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    gw = np.asarray(jax.grad(
+        lambda w_: jnp.sum(spmm(g.with_weight(w_), x) * cot))(g.weight))
+    np.testing.assert_array_equal(gw, np.zeros_like(gw))
+
+
 def test_reverse_graph_backward_consistent():
     rng = np.random.default_rng(10)
     src, dst, w, n = random_graph(rng, n=25, e=120)

@@ -127,6 +127,97 @@ def test_shard_params_spec_targets_tables():
     assert spec["mlp"]["w"].spec == P()
 
 
+def test_tp_pad_to_shard_non_divisible_table():
+    """VERDICT r2 #3: a catalog whose rows do NOT divide tp must still
+    row-shard (pad-to-shard at the step boundary), and the padded
+    sharded step must match the single-device step exactly."""
+    import __graft_entry__ as g
+    from recbole_gnn_tpu.parallel.sharded_train import (
+        pad_opt_state, pad_tables, table_pad_plan, unpad_tables)
+    from recbole_gnn_tpu.train.optim import make_optimizer
+
+    # 63 users / 97 items — neither divides tp=2 (every real catalog)
+    model, params, batch = g._tiny_lightgcn(n_users=63, n_items=97)
+    optimizer = make_optimizer("adam", 1e-3)
+    rng = jax.random.PRNGKey(2)
+
+    def step(params, opt_state, consts, extras, batch, rng):
+        def loss_fn(p):
+            loss, aux = model.calculate_loss(p, consts, extras, batch, rng)
+            return loss, aux
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        new_params, new_opt = optimizer.update(grads, opt_state, params)
+        return new_params, new_opt, loss
+
+    p1, _, l1 = jax.jit(step)(params, optimizer.init(params),
+                              model.consts, {}, batch, rng)
+
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    plan = table_pad_plan(params, mesh)
+    assert plan == {"user_emb": (63, 64), "item_emb": (97, 98)}
+    pp = pad_tables(params, plan)
+    oo = pad_opt_state(optimizer.init(params), plan)
+    pp, oo = place_state(pp, oo, mesh)
+    # the non-divisible tables are now genuinely row-sharded, never
+    # replicated
+    assert pp["user_emb"].sharding.spec == P("tp", None)
+    assert pp["item_emb"].sharding.spec == P("tp", None)
+    sharded = make_sharded_train_step(model, optimizer, mesh, pad_plan=plan)
+    batch2 = place_batch(batch, mesh)
+    p2, _, l2 = sharded(pp, oo, model.consts, {}, batch2, rng)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    p2_logical = unpad_tables(p2, plan)
+    for k in ("user_emb", "item_emb"):
+        assert p2_logical[k].shape == p1[k].shape
+        np.testing.assert_allclose(np.asarray(p1[k]),
+                                   np.asarray(p2_logical[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    # pad rows stay exactly zero after an update step
+    for k, (lo, hi) in plan.items():
+        np.testing.assert_array_equal(np.asarray(p2[k][lo:hi]),
+                                      np.zeros((hi - lo, p1[k].shape[1])))
+
+
+def test_trainer_mesh_mode_pads_non_divisible_catalog():
+    """End-to-end Trainer on the fixture dataset (1005-row item table,
+    not divisible by tp=2): fit must engage the pad plan and produce
+    metrics identical to the single-device run."""
+    from conftest import base_config_dict
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.train.trainer import Trainer
+
+    cfg1 = Config(config_dict=base_config_dict(model="LightGCN", epochs=1))
+    ds = create_dataset(cfg1)
+    (tl, tr_ds), (vl, _), _ = data_preparation(cfg1, ds)
+    m1 = get_model("LightGCN")(cfg1, tr_ds)
+    t1 = Trainer(cfg1, m1)
+    t1.fit(tl, None, saved=False, verbose=False)
+    r1 = t1.evaluate(vl, load_best_model=False)
+
+    cfg2 = Config(config_dict=base_config_dict(
+        model="LightGCN", epochs=1, mesh_shape={"dp": 4, "tp": 2}))
+    (tl2, tr_ds2), (vl2, _), _ = data_preparation(cfg2, ds)
+    m2 = get_model("LightGCN")(cfg2, tr_ds2)
+    t2 = Trainer(cfg2, m2)
+    t2.fit(tl2, None, saved=False, verbose=False)
+    # the fixture catalog must actually be non-divisible for this test
+    # to mean anything
+    assert any(lo % 2 for lo, _ in t2._pad_plan.values()), t2._pad_plan
+    r2 = t2.evaluate(vl2, load_best_model=False)
+
+    for k in ("user_emb", "item_emb"):
+        assert t1.params[k].shape == t2.params[k].shape
+        np.testing.assert_allclose(np.asarray(t1.params[k]),
+                                   np.asarray(t2.params[k]),
+                                   rtol=5e-4, atol=5e-5, err_msg=k)
+    for k in r1:
+        np.testing.assert_allclose(r2[k], r1[k], rtol=1e-5, atol=1e-7,
+                                   err_msg=k)
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
