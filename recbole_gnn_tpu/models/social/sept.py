@@ -72,8 +72,10 @@ class SEPT(SocialRecommender):
         net_src, net_dst = dataset.net_edges()
         src = np.concatenate([users, items + n, net_src])
         dst = np.concatenate([items + n, users, net_dst])
+        # always consumed re-weighted (per-epoch edge dropout), so the
+        # baked-weight ELL layout would never engage — skip building it
         sub = build_graph(src, dst, np.ones(len(src), np.float32),
-                          n + self.n_items)
+                          n + self.n_items, with_ell=False)
         self.consts["sub_graph"] = sub
         self._n_inter = len(users)
         self._n_net = len(net_src)

@@ -1,0 +1,238 @@
+"""Bucketed-ELL SpMM — the round-3 production sparse path.
+
+TPU-native replacement for torch_sparse.matmul (reference:
+recbole_gnn/model/layers.py:19-20) at web scale, superseding the XLA
+sorted-segment-sum default after round-3 hardware probes
+(scripts/diag/r3_sparse_probe*.py, v5e, 500k nodes / 10M edges / d64):
+
+  gather x[idx]              4.5 ns/row  (issue-bound: blind to width,
+                                          dtype, index order)
+  XLA sorted segment-sum     9.6 ns/EDGE (per-row issue-bound — NOT
+                                          bandwidth: d=128 f32 and
+                                          d=64 bf16 time identically)
+  streaming Pallas one-hot   ~9.5 ns/edge (EC-wide one-hot costs
+                                          ~262 KFLOP/edge on the MXU)
+  full gather+segsum SpMM    14.8 ns/edge
+
+The round-2 "~14 ns/edge is the per-edge gather floor" conclusion was
+wrong: the gather is 4.5 of those ns; the REDUCTION is the pig.  This
+layout makes the reduction a fixed-shape axis sum, which XLA streams at
+HBM bandwidth (~0.5 ns/edge), leaving only the irreducible gather:
+
+  host prep   nodes are bucketed by in-degree rounded UP to the bucket
+              grid (multiples of 4 up to K_CAP=256; nodes beyond K_CAP
+              split into several virtual rows of K_CAP); each (virtual)
+              row's edge list is padded to the bucket K with weight-0
+              edges on source row 0
+  device      per bucket:  out_b = Σ_k  w[:, k] · x[idx[:, k]]
+              — an (n_b·K) row gather + streaming multiply-sum
+  combine     virtual-row results are re-ordered by a HOST-precomputed
+              sort permutation and segment-summed into node order
+              (n_vrows ≈ n_nodes rows — cheap)
+
+Measured (same probe protocol): 8.8 ns/edge with pow2 buckets
+(E_pad/E = 1.34); multiples-of-4 buckets cut the padding to ~1.07.
+Weights are baked into the layout at build time: graphs re-weighted
+per step (edge dropout / SGL / SEPT augmentation) must use the
+segment-sum path (Graph.with_weight clears the ELL metadata).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# nodes with degree > K_CAP are split into ceil(deg/K) virtual rows;
+# the bucket grid itself is chosen per graph by a small DP (below)
+K_CAP = 256
+# max number of degree buckets: each bucket is a separate gather op,
+# and per-op overhead is real (hardware-measured: a multiples-of-4
+# grid with ~40 occupied buckets ran 95 ms where the probe's 8-bucket
+# pow2 grid ran 86 ms despite 25% MORE padded edges)
+MAX_BUCKETS = 12
+
+# per-bucket gathered-message budget: buckets whose (rows·K·D·4) stream
+# would exceed this are processed in static row chunks so the transient
+# (n_b, K, D) message block stays bounded at any edge count
+BUCKET_BYTES_BUDGET = 1 << 31   # 2 GB
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class EllMeta:
+    """Device-side bucketed-ELL layout (pytree).
+
+    Attributes:
+      idxs: tuple of (n_b, K_b) int32 — source node per slot (0-padded).
+      ws: tuple of (n_b, K_b) float32 — edge weight per slot (0-padded).
+      order: (n_vrows,) int32 — host-precomputed stable argsort of the
+        concatenated per-bucket virtual-row node ids.
+      vnode_sorted: (n_vrows,) int32 — node id per virtual row, sorted
+        (the segment ids of the combine segsum).
+      n_nodes: static int — output rows.
+    """
+
+    idxs: tuple
+    ws: tuple
+    order: jax.Array
+    vnode_sorted: jax.Array
+    n_nodes: int
+
+    def tree_flatten(self):
+        return ((self.idxs, self.ws, self.order, self.vnode_sorted),
+                (self.n_nodes,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0])
+
+    @property
+    def e_padded(self) -> int:
+        return sum(int(i.shape[0]) * int(i.shape[1]) for i in self.idxs)
+
+
+def _bucket_grid(per_vrow: np.ndarray, k_cap: int,
+                 max_buckets: int = MAX_BUCKETS) -> np.ndarray:
+    """DP-optimal degree→bucket-K mapping: partition the occupied
+    capped-degree values into ≤ max_buckets groups (group K = its max
+    degree) minimizing total padding Σ nodes·(K − deg).  Returns
+    bucket_of[d] for d in 0..k_cap."""
+    vals, counts = np.unique(per_vrow, return_counts=True)
+    m = len(vals)
+    if m == 0:
+        return np.zeros(k_cap + 1, np.int64)
+    b_max = min(max_buckets, m)
+    # prefix sums for group cost: cost(i..j) = Σ c_t·(v_j − v_t)
+    csum = np.concatenate([[0], np.cumsum(counts)])
+    cvsum = np.concatenate([[0], np.cumsum(counts * vals)])
+
+    def kof(j):
+        # bucket K rounded UP to a multiple of 8: the (n, K) layout is
+        # sublane-tiled — hardware-measured, unaligned K is a net LOSS
+        # (odd-K DP grid: 130 ms vs pow2's 86 ms at the bench shape
+        # despite 25% less padding)
+        return -(-int(vals[j]) // 8) * 8
+
+    def gcost(i, j):   # values i..j inclusive into one bucket
+        return kof(j) * (csum[j + 1] - csum[i]) - (cvsum[j + 1] - cvsum[i])
+
+    INF = float("inf")
+    dp = np.full((b_max + 1, m), INF)
+    parent = np.full((b_max + 1, m), -1, np.int64)
+    for j in range(m):
+        dp[1, j] = gcost(0, j)
+    for b in range(2, b_max + 1):
+        for j in range(b - 1, m):
+            best, arg = INF, -1
+            for i in range(b - 2, j):
+                c = dp[b - 1, i] + gcost(i + 1, j)
+                if c < best:
+                    best, arg = c, i
+            dp[b, j] = best
+            parent[b, j] = arg
+    best_b = int(np.argmin(dp[1:, m - 1])) + 1
+    # walk back the group boundaries; each group's K = its max degree
+    ks = []
+    j, b = m - 1, best_b
+    while j >= 0:
+        ks.append(kof(j))
+        j = int(parent[b, j]) if b > 1 else -1
+        b -= 1
+    ks = np.unique(np.array(ks, np.int64))
+    # bucket of degree d = smallest group K ≥ d
+    d = np.arange(k_cap + 1)
+    bucket_of = ks[np.minimum(np.searchsorted(ks, d), len(ks) - 1)]
+    return bucket_of
+
+
+def build_ell(src_sorted: np.ndarray, dst_sorted: np.ndarray,
+              w_sorted: np.ndarray, n_nodes: int,
+              k_cap: int = K_CAP,
+              max_buckets: int = MAX_BUCKETS) -> EllMeta:
+    """Host-side layout build from a dst-sorted COO triple.
+
+    Vectorized (no per-node Python loop): per bucket, slot positions
+    are filled with a flat repeat/cumsum construction."""
+    src_sorted = np.asarray(src_sorted, np.int32)
+    dst_sorted = np.asarray(dst_sorted, np.int64)
+    w_sorted = np.asarray(w_sorted, np.float32)
+    deg = np.bincount(dst_sorted, minlength=n_nodes)
+    rowptr = np.zeros(n_nodes + 1, np.int64)
+    np.cumsum(deg, out=rowptr[1:])
+    # per-node bucket K: DP-chosen grid over capped degrees
+    per_vrow = np.minimum(np.maximum(deg, 1), k_cap)
+    bucket_of = _bucket_grid(per_vrow[deg > 0], k_cap, max_buckets)
+    kb = np.maximum(bucket_of[per_vrow], 1)
+    n_vrows = -(-deg // kb)      # 0 for isolated nodes
+
+    idxs, ws, vnodes = [], [], []
+    for K in np.unique(kb[deg > 0]):
+        sel = np.where((kb == K) & (deg > 0))[0]
+        vr = n_vrows[sel]
+        tot = int(vr.sum())
+        idx = np.zeros((tot, K), np.int32)
+        ww = np.zeros((tot, K), np.float32)
+        vnode = np.repeat(sel, vr).astype(np.int32)
+        # edge range of each virtual row: node start + vrow_index·K
+        starts = np.repeat(rowptr[sel], vr) + (
+            np.arange(tot) - np.repeat(np.cumsum(vr) - vr, vr)) * K
+        ends = np.minimum(starts + K, np.repeat(rowptr[sel + 1], vr))
+        lens = (ends - starts).astype(np.int64)
+        rows = np.repeat(np.arange(tot), lens)
+        cols = np.arange(int(lens.sum())) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        epos = np.repeat(starts, lens) + cols
+        idx[rows, cols] = src_sorted[epos]
+        ww[rows, cols] = w_sorted[epos]
+        idxs.append(idx)
+        ws.append(ww)
+        vnodes.append(vnode)
+
+    if vnodes:
+        vnode_all = np.concatenate(vnodes)
+    else:   # empty graph
+        vnode_all = np.zeros((0,), np.int32)
+    order = np.argsort(vnode_all, kind="stable").astype(np.int32)
+    return EllMeta(tuple(jnp.asarray(a) for a in idxs),
+                   tuple(jnp.asarray(a) for a in ws),
+                   jnp.asarray(order),
+                   jnp.asarray(vnode_all[order]),
+                   int(n_nodes))
+
+
+def ell_spmm(meta: EllMeta, x: jax.Array) -> jax.Array:
+    """out[d] = Σ_{e: dst[e]=d} w[e]·x[src[e]] via the bucketed-ELL
+    layout.  No custom VJP here — callers in hot loops go through
+    ops.spmm.spmm(), whose VJP runs the transpose as another ell_spmm
+    over the reverse layout."""
+    d = x.shape[-1]
+    outs = []
+    for idx, w in zip(meta.idxs, meta.ws):
+        n_b, k = idx.shape
+        bytes_b = n_b * k * d * 4
+        if bytes_b <= BUCKET_BYTES_BUDGET:
+            outs.append(_bucket_sum(x, idx, w, d))
+        else:
+            # static row-chunked accumulation: bound the transient
+            # (rows, K, D) message block
+            rows_per = max(1, BUCKET_BYTES_BUDGET // (k * d * 4))
+            parts = []
+            for lo in range(0, n_b, rows_per):
+                hi = min(lo + rows_per, n_b)
+                parts.append(_bucket_sum(x, idx[lo:hi], w[lo:hi], d))
+            outs.append(jnp.concatenate(parts, axis=0))
+    if not outs:
+        return jnp.zeros((meta.n_nodes, d), x.dtype)
+    vr = jnp.concatenate(outs, axis=0)[meta.order]
+    return jax.ops.segment_sum(vr, meta.vnode_sorted,
+                               num_segments=meta.n_nodes,
+                               indices_are_sorted=True)
+
+
+def _bucket_sum(x, idx, w, d):
+    n_b, k = idx.shape
+    g = x[idx.reshape(-1)].reshape(n_b, k, d)
+    return jnp.einsum("nkd,nk->nd", g, w.astype(x.dtype))

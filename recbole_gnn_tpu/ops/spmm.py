@@ -4,18 +4,22 @@ TPU-native replacement for torch_sparse.matmul / torch.spmm (reference:
 recbole_gnn/model/layers.py:19-20, lightgcl.py:119-142).  The graph is a
 *static* COO triple sorted by destination row, built once on host.
 
-Two device implementations, selected by ``SPMM_IMPL``
-(config ``sparse_spmm_impl``):
-  * "xla" (default): gather + ``indices_are_sorted=True`` segment-sum.
-    Honest carry-dependent measurements on v5e / jax 0.9
-    (scripts/diag/primitives_bench.py): 27.9 ms for 2M edges × dim
-    64, 178 ms at gowalla scale (12M edges, 1.4M nodes) ≈ 14 ns/edge
-    — the per-edge row-gather composite cost, which bounds BOTH
-    impls.
+Three device implementations, selected by ``SPMM_IMPL``
+(config ``sparse_spmm_impl``); honest carry-dependent measurements on
+v5e / jax 0.9 at 500k nodes / 10M edges / d64
+(scripts/diag/r3_sparse_probe*.py):
+  * "ell" (default): bucketed-ELL (ops/ell_spmm.py) — host-side
+    degree bucketing turns the reduction into a fixed-shape streaming
+    axis sum, leaving only the irreducible row gather (4.5 ns/row).
+    The round-2 "14 ns/edge gather floor" was a misattribution: XLA's
+    sorted segment-sum alone costs 9.6 ns/EDGE (per-row issue-bound —
+    width/dtype-blind), the gather only 4.5.
+  * "xla": gather + ``indices_are_sorted=True`` segment-sum
+    (14.8 ns/edge measured) — used automatically for dynamically
+    re-weighted graphs (with_weight clears the baked-weight ELL).
   * "pallas": the streaming one-hot-MXU kernel (ops/pallas_spmm.py),
-    bounded-HBM at any edge count; within ~10-30% of the XLA path
-    (37 ms at 2M, 195 ms at gowalla) — the selectable hedge against
-    regressions of the sorted-segment-sum lowering.
+    bounded-HBM at any edge count, ~14.6 ns/edge (its EC-wide one-hot
+    reduction costs what segment-sum costs) — a selectable hedge.
 
 Design notes (TPU-first):
   * static nnz — edge dropout / augmentation zero weights instead of
@@ -73,6 +77,13 @@ class Graph:
     block_ptr: object | None = None      # PallasMeta (streaming kernel)
     rev_block_ptr: object | None = None  # ... for the transpose pass
     nnz: int | None = None               # real edges (excl. pallas pad)
+    # bucketed-ELL layouts (ops/ell_spmm.py) — the round-3 default
+    # sparse path (reduction at bandwidth instead of the 9.6 ns/row
+    # segment-sum).  Weights are BAKED into these at build time:
+    # with_weight() clears them and re-weighted graphs fall back to
+    # the segment-sum path.
+    ell: object | None = None            # EllMeta, forward direction
+    rev_ell: object | None = None        # EllMeta, transpose (backward)
     # weight already permuted to the transposed edge ordering
     # (= weight[rev_edge_id]).  A 12M-element XLA gather runs at
     # ~5 ns/row on v5e (~60 ms at gowalla scale), so the backward must
@@ -84,14 +95,16 @@ class Graph:
     def tree_flatten(self):
         return ((self.src, self.dst, self.weight, self.rev_src,
                  self.rev_dst, self.rev_edge_id, self.block_ptr,
-                 self.rev_block_ptr, self.rev_weight),
+                 self.rev_block_ptr, self.rev_weight, self.ell,
+                 self.rev_ell),
                 (self.n_nodes, self.n_src_nodes, self.nnz))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        src, dst, weight, rs, rd, re, bp, rbp, rw = children
+        (src, dst, weight, rs, rd, re, bp, rbp, rw, ell,
+         rev_ell) = children
         return cls(src, dst, weight, rs, rd, re, aux[0], aux[1],
-                   bp, rbp, aux[2], rw)
+                   bp, rbp, aux[2], ell, rev_ell, rw)
 
     @property
     def n_edges(self) -> int:
@@ -117,7 +130,7 @@ class Graph:
             rev_src=self.src, rev_dst=self.dst, rev_edge_id=inv,
             n_nodes=self.n_src_nodes, n_src_nodes=self.n_nodes,
             block_ptr=self.rev_block_ptr, rev_block_ptr=self.block_ptr,
-            nnz=self.nnz,
+            nnz=self.nnz, ell=self.rev_ell, rev_ell=self.ell,
             # rw[inv] = weight[reid][inv] = weight
             rev_weight=self.weight)
 
@@ -126,19 +139,25 @@ class Graph:
         """New graph with re-weighted edges (dropout / augmentation).
         Pass ``rev_weight`` (= weight[rev_edge_id]) if you can compute
         it cheaply (e.g. once per epoch); otherwise the backward pays a
-        per-call (E,) gather to rebuild it."""
-        return replace(self, weight=weight, rev_weight=rev_weight)
+        per-call (E,) gather to rebuild it.  Clears the bucketed-ELL
+        layouts (their weights are baked in at build time) — the
+        re-weighted graph runs on the segment-sum path."""
+        return replace(self, weight=weight, rev_weight=rev_weight,
+                       ell=None, rev_ell=None)
 
 
 def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
                 n_nodes: int, n_src_nodes: int | None = None,
                 sort: bool = True, with_reverse: bool = True,
-                with_pallas: bool = False) -> Graph:
+                with_pallas: bool = False,
+                with_ell: bool = True) -> Graph:
     """Host-side constructor: sorts edges by dst; precomputes the
-    transposed ordering for the custom-VJP backward.  With
-    ``with_pallas`` the edge list is padded to the streaming-kernel
-    segment layout and PallasMeta (per-direction segment/block
-    pointers) is attached for ops.pallas_spmm."""
+    transposed ordering for the custom-VJP backward.  With ``with_ell``
+    (default) the bucketed-ELL layouts (forward + transpose) are
+    attached — the measured-fastest sparse path (ops/ell_spmm.py).
+    With ``with_pallas`` the edge list is additionally padded to the
+    streaming-kernel segment layout and PallasMeta attached for
+    ops.pallas_spmm (the selectable hedge)."""
     src = np.asarray(src, dtype=np.int32)
     dst = np.asarray(dst, dtype=np.int32)
     weight = np.asarray(weight, dtype=np.float32)
@@ -154,6 +173,17 @@ def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     if sort:
         order = np.argsort(dst, kind="stable")
         src, dst, weight = src[order], dst[order], weight[order]
+    ell = rev_ell = None
+    if with_ell and with_reverse:
+        from recbole_gnn_tpu.ops.ell_spmm import build_ell
+        # layouts built from the REAL edges only (positions ≥ nnz are
+        # pallas padding).  Forward: reduce by dst, gather by src.
+        # Transpose (the custom-VJP backward): reduce by src, gather
+        # by dst — re-sorted here on host.
+        ell = build_ell(src[:nnz], dst[:nnz], weight[:nnz], n_nodes)
+        r_order = np.argsort(src[:nnz], kind="stable")
+        rev_ell = build_ell(dst[:nnz][r_order], src[:nnz][r_order],
+                            weight[:nnz][r_order], n_src_nodes)
     rev_src = rev_dst = rev_eid = rev_w = None
     if with_reverse:
         rev_order = np.argsort(src, kind="stable").astype(np.int32)
@@ -168,7 +198,8 @@ def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     return Graph(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(weight),
                  as_j(rev_src), as_j(rev_dst), as_j(rev_eid),
                  int(n_nodes), int(n_src_nodes),
-                 block_ptr, rev_block_ptr, int(nnz), as_j(rev_w))
+                 block_ptr, rev_block_ptr, int(nnz), ell, rev_ell,
+                 as_j(rev_w))
 
 
 # peak bytes allowed for the materialized (E, D) message stream before
@@ -178,11 +209,13 @@ def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
 # peak memory at the cost of extra dispatches.
 MSGS_BYTES_BUDGET = 1 << 32     # 4 GB
 
-# sparse-path implementation: "xla" = gather + sorted segment-sum
-# (XLA's sorted path measured ~195 GB/s on v5e / jax 0.9 — see
-# scripts/diag/segsum_scale.py), "pallas" = the streaming one-hot MXU
-# kernel (ops/pallas_spmm.py).  Config key `sparse_spmm_impl`.
-SPMM_IMPL = "xla"
+# sparse-path implementation (config key `sparse_spmm_impl`):
+#   "ell"    (default) bucketed-ELL: gather + streaming axis-sum
+#            (ops/ell_spmm.py) — measured fastest on v5e (r3 probes:
+#            reduction at bandwidth vs segment-sum's 9.6 ns/row)
+#   "xla"    gather + sorted segment-sum (14.8 ns/edge measured)
+#   "pallas" streaming one-hot MXU kernel (ops/pallas_spmm.py) — hedge
+SPMM_IMPL = "ell"
 
 
 def spmm_coo(src: jax.Array, dst: jax.Array, weight: jax.Array,
@@ -259,15 +292,21 @@ def spmm(graph: Graph, x: jax.Array,
     rev_w = graph.rev_weight
     n_out, n_in = graph.n_nodes, graph.n_src_nodes
     bp, rbp = graph.block_ptr, graph.rev_block_ptr
-    # the streaming kernel gathers one bounded segment per scan step —
-    # no message-stream size cliff; engaged when metadata is present
-    # AND the pallas impl is selected (XLA's sorted segment-sum is the
-    # measured default on current hardware/compiler)
+    # impl dispatch: bucketed-ELL when its layout is present (cleared
+    # by with_weight — baked weights) and selected; the streaming
+    # Pallas kernel when ITS metadata is present and selected; XLA
+    # sorted segment-sum otherwise
+    use_ell = (graph.ell is not None and graph.rev_ell is not None
+               and SPMM_IMPL == "ell")
     use_pallas = (bp is not None and _pallas_available()
                   and SPMM_IMPL == "pallas")
+    ell, rev_ell = graph.ell, graph.rev_ell
 
     @jax.custom_vjp
     def _f(w, x_):
+        if use_ell:
+            from recbole_gnn_tpu.ops.ell_spmm import ell_spmm
+            return ell_spmm(ell, x_)   # w baked into the layout
         if use_pallas:
             from recbole_gnn_tpu.ops.pallas_spmm import pallas_spmm
             return pallas_spmm(src, dst, w, x_, bp)[:n_out]
@@ -282,11 +321,15 @@ def spmm(graph: Graph, x: jax.Array,
         # Use the precomputed transposed weights when available: the
         # (E,) gather w[reid] costs ~5 ns/row on v5e (~60 ms/layer at
         # gowalla scale) if paid per backward.
-        rw = rev_w if rev_w is not None else w[reid]
-        if use_pallas and rbp is not None:
+        if use_ell:
+            from recbole_gnn_tpu.ops.ell_spmm import ell_spmm
+            gx = ell_spmm(rev_ell, g)
+        elif use_pallas and rbp is not None:
             from recbole_gnn_tpu.ops.pallas_spmm import pallas_spmm
+            rw = rev_w if rev_w is not None else w[reid]
             gx = pallas_spmm(rsrc, rdst, rw, g, rbp)[:n_in]
         else:
+            rw = rev_w if rev_w is not None else w[reid]
             # spmm_coo auto-chunks huge graphs (no full msgs stream)
             gx = spmm_coo(rsrc, rdst, rw, g, n_in)
         if weight_grad:

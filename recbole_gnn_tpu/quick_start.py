@@ -52,10 +52,10 @@ def create_dataset(config):
         _ps.DEFAULT_PRECISION = str(prec)
     impl = config["sparse_spmm_impl"]
     if impl:
-        if str(impl) not in ("xla", "pallas"):
+        if str(impl) not in ("ell", "xla", "pallas"):
             raise ValueError(
-                f"sparse_spmm_impl must be 'xla' or 'pallas', got "
-                f"{impl!r}")
+                f"sparse_spmm_impl must be 'ell', 'xla' or 'pallas', "
+                f"got {impl!r}")
         from recbole_gnn_tpu.ops import spmm as _spmm_mod
         _spmm_mod.SPMM_IMPL = str(impl)
     import os

@@ -188,6 +188,93 @@ def test_spmm_weight_grad():
     np.testing.assert_allclose(gw, want, rtol=1e-4, atol=1e-4)
 
 
+def test_ell_spmm_matches_dense():
+    """The bucketed-ELL layout (round-3 default sparse path) must be
+    exact vs the dense reference — incl. forced virtual-row splits
+    (k_cap=4) and bucket-grid padding."""
+    from recbole_gnn_tpu.ops.ell_spmm import build_ell, ell_spmm
+    rng = np.random.default_rng(11)
+    src, dst, w, n = random_graph(rng, n=40, e=500)  # avg deg 12.5 > cap
+    order = np.argsort(dst, kind="stable")
+    s, d, ww = src[order], dst[order], w[order].astype(np.float32)
+    x = rng.normal(size=(n, 12)).astype(np.float32)
+    want = dense_from_coo(src, dst, w, n) @ x
+    for k_cap, mb in ((256, 12), (4, 12), (16, 2), (256, 1)):
+        meta = build_ell(s, d, ww, n, k_cap=k_cap, max_buckets=mb)
+        assert meta.e_padded >= len(s)
+        assert len(meta.idxs) <= mb
+        out = np.asarray(ell_spmm(meta, jnp.asarray(x)))
+        np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"k_cap={k_cap} mb={mb}")
+
+
+def test_ell_spmm_isolated_nodes_and_rectangular():
+    from recbole_gnn_tpu.ops.ell_spmm import build_ell, ell_spmm
+    rng = np.random.default_rng(12)
+    n_src, n_dst, e = 30, 20, 80
+    src = rng.integers(0, n_src, e)
+    dst = rng.integers(0, n_dst - 5, e)   # last 5 dst rows isolated
+    w = rng.normal(size=e).astype(np.float32)
+    order = np.argsort(dst, kind="stable")
+    x = rng.normal(size=(n_src, 8)).astype(np.float32)
+    meta = build_ell(src[order], dst[order], w[order], n_dst)
+    out = np.asarray(ell_spmm(meta, jnp.asarray(x)))
+    want = np.zeros((n_dst, 8))
+    np.add.at(want, dst, w[:, None].astype(np.float64) * x[src])
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(out[-5:], 0.0)
+
+
+def test_spmm_ell_path_grad_matches_segsum():
+    """spmm() with SPMM_IMPL='ell': forward AND x-gradient (transpose
+    ELL over rev layout) must match the segment-sum path."""
+    import importlib
+    spmm_mod = importlib.import_module("recbole_gnn_tpu.ops.spmm")
+    rng = np.random.default_rng(13)
+    src, dst, w, n = random_graph(rng, n=35, e=400)
+    g = build_graph(src, dst, w, n)
+    assert g.ell is not None and g.rev_ell is not None
+    x = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+
+    def run():
+        out = spmm(g, x)
+        grad = jax.grad(lambda x_: jnp.sum(spmm(g, x_) * cot))(x)
+        return np.asarray(out), np.asarray(grad)
+
+    old = spmm_mod.SPMM_IMPL
+    try:
+        spmm_mod.SPMM_IMPL = "ell"
+        out_e, grad_e = run()
+        spmm_mod.SPMM_IMPL = "xla"
+        out_x, grad_x = run()
+    finally:
+        spmm_mod.SPMM_IMPL = old
+    np.testing.assert_allclose(out_e, out_x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(grad_e, grad_x, rtol=1e-4, atol=1e-4)
+
+
+def test_with_weight_clears_ell():
+    """Re-weighted graphs must NOT run on the stale baked-weight ELL:
+    with_weight clears it and spmm falls back to segment-sum."""
+    import importlib
+    spmm_mod = importlib.import_module("recbole_gnn_tpu.ops.spmm")
+    rng = np.random.default_rng(14)
+    src, dst, w, n = random_graph(rng, n=30, e=200)
+    g = build_graph(src, dst, w, n)
+    g2 = g.with_weight(g.weight * 0.5)
+    assert g2.ell is None and g2.rev_ell is None
+    x = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+    old = spmm_mod.SPMM_IMPL
+    try:
+        spmm_mod.SPMM_IMPL = "ell"
+        out = np.asarray(spmm(g2, x))
+    finally:
+        spmm_mod.SPMM_IMPL = old
+    np.testing.assert_allclose(out, 0.5 * np.asarray(spmm(g, x)),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_spmm_weight_grad_default_is_zero():
     """Contract pin: spmm's DEFAULT is weight_grad=False — the weight
     cotangent is an all-zeros placeholder.  Any future model whose edge
