@@ -152,6 +152,34 @@ class Evaluator:
         return self._metric_sums(topk_items, batch["pos_items"],
                                  batch["pos_len"], batch["weight"])
 
+    def _scan_entry_budget(self) -> int:
+        """Per-dispatch (batch · n_items) score-entry budget for the
+        auto-chunked eval scan.
+
+        Failure mode this bounds (round 2, gowalla scale): a SINGLE
+        scanned dispatch covering the whole eval pass (392 batches ×
+        256 users × 1.12M items) reproducibly crashed the TPU worker
+        with a kernel fault — the XLA program's cumulative transient
+        allocation (per-iteration (B, n_items) scores + top-k scratch,
+        which buffer assignment does not fully reuse across scan
+        iterations at that program size) exceeded device memory.
+        Chunks of ≤ 8e9 entries (K=32 there) ran reliably.
+
+        Budget: ¼ of the device's free HBM divided by 4 B/entry ×2
+        (scores + top-k scratch), i.e. entries ≤ free_bytes / 32 —
+        ≈ 8e9 entries on an idle 16 GB v5e minus the propagated
+        embeddings, converging to the hardware-verified constant;
+        falls back to that constant where memory_stats is unavailable
+        (CPU tests, older runtimes)."""
+        try:
+            stats = jax.devices()[0].memory_stats()
+            free = (stats["bytes_limit"] - stats["bytes_in_use"])
+            if free > 0:
+                return max(1_000_000_000, int(free) // 32)
+        except Exception:
+            pass
+        return 8_000_000_000   # hardware-verified v5e fallback
+
     # -- distributed full-sort (EP-analog) -------------------------------
 
     def _use_dist_eval(self, mode: str) -> bool:
@@ -242,12 +270,9 @@ class Evaluator:
                     return {}
                 cfg_scan = self.config["eval_scan"]
                 if isinstance(cfg_scan, bool):
-                    # auto-chunk: one dispatch scoring more than ~8e9
-                    # (batch · n_items) entries crashes the TPU worker
-                    # at web scale (observed at 392 × 256 × 1.12M);
-                    # 8e9/dispatch is hardware-verified (K=32 there)
                     B = batches[0]["user_id"].shape[0]
-                    k = int(max(1, 8_000_000_000 // max(1, B * self.n_items)))
+                    k = int(max(1, self._scan_entry_budget()
+                                // max(1, B * self.n_items)))
                 else:
                     k = int(cfg_scan)
                 k = max(1, min(k, len(batches)))

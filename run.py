@@ -26,8 +26,16 @@ if __name__ == "__main__":
     parser.add_argument("--process_id", type=int, default=None)
     args, unknown = parser.parse_known_args()
 
+    config_dict = parse_cli(unknown)
+
     if args.distributed:
-        # must run before quick_start imports touch any device
+        # must run before quick_start imports touch any device; and if
+        # the run is pinned to CPU (use_gpu=False, e.g. the 2-process
+        # CI smoke test), the platform must flip BEFORE
+        # jax.distributed.initialize probes for a TPU
+        if config_dict.get("use_gpu") is False:
+            import jax
+            jax.config.update("jax_platforms", "cpu")
         from recbole_gnn_tpu.parallel.launch import init_distributed
         init_distributed(coordinator_address=args.coordinator_address,
                          num_processes=args.num_processes,
@@ -39,4 +47,4 @@ if __name__ == "__main__":
                         if args.config_files else None)
     run_recbole_gnn_tpu(model=args.model, dataset=args.dataset,
                         config_file_list=config_file_list,
-                        config_dict=parse_cli(unknown))
+                        config_dict=config_dict)
