@@ -30,6 +30,24 @@ from recbole_gnn_tpu.models.sequential.common import (
     session_dense_adj, srgnn_cell_dense)
 
 
+def star_blend_step(hidden, star, smask, d):
+    """One star-graph blend + attentive star update (reference
+    sgnnhn.py:79-100): α = σ(h·s/√d) blends node states toward the
+    star; the star is refreshed by masked softmax attention over the
+    blended nodes (att_out :79-86).  Extracted for value-level golden
+    testing (tests/test_golden_torch.py)."""
+    import math as _math
+    sim = jnp.sum(hidden * star[:, None, :], axis=-1,
+                  keepdims=True) / _math.sqrt(d)
+    alpha = jax.nn.sigmoid(sim)
+    hidden = (1.0 - alpha) * hidden + alpha * star[:, None, :]
+    sim2 = jnp.sum(hidden * star[:, None, :], axis=-1)
+    sim2 = jnp.where(smask > 0, sim2, -1e30)
+    att = jax.nn.softmax(sim2, axis=1)
+    star = jnp.sum(att[:, :, None] * hidden, axis=1)
+    return hidden, star
+
+
 def sgnnhn_layer_norm(x):
     """Reference's custom layer_norm (:29-34): center then L2-normalize."""
     x = x - jnp.mean(x, axis=-1, keepdims=True)
@@ -80,15 +98,7 @@ class SGNNHN(SequentialRecommender):
 
         for _ in range(self.step):
             hidden = srgnn_cell_dense(params["cell"], hidden, a_in, a_out)
-            sim = jnp.sum(hidden * star[:, None, :], axis=-1,
-                          keepdims=True) / math.sqrt(d)
-            alpha = jax.nn.sigmoid(sim)
-            hidden = (1.0 - alpha) * hidden + alpha * star[:, None, :]
-            # attentive star update (reference att_out :79-86)
-            sim2 = jnp.sum(hidden * star[:, None, :], axis=-1)
-            sim2 = jnp.where(smask > 0, sim2, -1e30)
-            att = jax.nn.softmax(sim2, axis=1)
-            star = jnp.sum(att[:, :, None] * hidden, axis=1)
+            hidden, star = star_blend_step(hidden, star, smask, d)
 
         seq_hidden = gather_seq_hidden(hidden, batch)
         L = seq_hidden.shape[1]

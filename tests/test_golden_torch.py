@@ -318,6 +318,190 @@ def test_gcegnn_local_agg_joint_softmax_matches_numpy():
 
 # -- MHCN channel attention ----------------------------------------------
 
+def test_srgnn_cell_dense_matches_torch():
+    """srgnn_cell_dense vs a torch replication of the reference
+    SRGNNCell (layers.py:82-114): dual mean-aggregation linear convs
+    (in/out directions) + GRU-style gate.  The dense (B, L, L)
+    row-normalized adjacency realizes PyG's aggr='mean' propagate."""
+    from recbole_gnn_tpu.models.layers import srgnn_cell_params
+    from recbole_gnn_tpu.models.sequential.common import srgnn_cell_dense
+
+    rng = np.random.default_rng(21)
+    B, L, D = 3, 6, 8
+    p = srgnn_cell_params(jax.random.PRNGKey(4), D)
+    hidden = rng.normal(size=(B, L, D)).astype(np.float32)
+    # random deduped session edges; A_in[b, i, j] = 1/in_deg(i)
+    a = (rng.random((B, L, L)) < 0.3).astype(np.float32)
+    a_in = a / np.maximum(a.sum(-1, keepdims=True), 1.0)
+    at = np.swapaxes(a, 1, 2)
+    a_out = at / np.maximum(at.sum(-1, keepdims=True), 1.0)
+
+    out = srgnn_cell_dense(p, jnp.asarray(hidden), jnp.asarray(a_in),
+                           jnp.asarray(a_out))
+
+    h = t(hidden)
+    lin = lambda q, x: x @ t(_np(q["w"])) + t(_np(q["b"]))
+    input_in = t(a_in) @ lin(p["in_conv"], h)
+    input_out = t(a_out) @ lin(p["out_conv"], h)
+    gi = lin(p["lin_ih"], torch.cat([input_in, input_out], dim=-1))
+    gh = lin(p["lin_hh"], h)
+    i_r, i_i, i_n = gi.chunk(3, -1)
+    h_r, h_i, h_n = gh.chunk(3, -1)
+    reset = torch.sigmoid(i_r + h_r)
+    update = torch.sigmoid(i_i + h_i)
+    new = torch.tanh(i_n + reset * h_n)
+    want = (1 - update) * h + update * new
+    np.testing.assert_allclose(_np(out), want.numpy(), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_sgnnhn_star_blend_matches_torch():
+    """star_blend_step vs a torch replication of reference
+    sgnnhn.py:93-100 + att_out:79-86: sigmoid blend toward the star
+    node, then softmax-attention star refresh (full sessions — the
+    per-session softmax is over all L nodes, matching PyG softmax over
+    the batch vector when no padding exists)."""
+    from recbole_gnn_tpu.models.sequential.sgnnhn import star_blend_step
+
+    rng = np.random.default_rng(22)
+    B, L, D = 4, 5, 8
+    hidden = rng.normal(size=(B, L, D)).astype(np.float32)
+    star = rng.normal(size=(B, D)).astype(np.float32)
+    smask = np.ones((B, L), np.float32)
+
+    h_out, s_out = star_blend_step(jnp.asarray(hidden), jnp.asarray(star),
+                                   jnp.asarray(smask), D)
+
+    h, s = t(hidden), t(star)
+    sim = (h * s[:, None, :]).sum(-1, keepdim=True) / np.sqrt(D)
+    alpha = torch.sigmoid(sim)
+    h2 = (1 - alpha) * h + alpha * s[:, None, :]
+    att = torch.softmax((h2 * s[:, None, :]).sum(-1), dim=1)
+    s2 = (att.unsqueeze(-1) * h2).sum(1)
+    np.testing.assert_allclose(_np(h_out), h2.numpy(), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(_np(s_out), s2.numpy(), rtol=1e-5,
+                               atol=1e-6)
+
+
+def _bare_ncl(n_users, n_items, ssl_temp=0.1, ssl_reg=1e-3, alpha=0.7,
+              proto_reg=1e-2):
+    from recbole_gnn_tpu.models.general.ncl import NCL
+    m = object.__new__(NCL)
+    m.n_users, m.n_items = n_users, n_items
+    m.ssl_temp, m.ssl_reg, m.alpha, m.proto_reg = (
+        ssl_temp, ssl_reg, alpha, proto_reg)
+    return m
+
+
+def test_ncl_ssl_layer_loss_matches_torch():
+    """NCL structure-contrastive loss vs a torch replication of
+    reference ncl.py:135-164 (normalize current/previous views,
+    in-view softmax over ALL previous embeddings, sum-reduced,
+    ssl_reg·(user + alpha·item))."""
+    rng = np.random.default_rng(23)
+    n_u, n_i, D, B = 7, 9, 6, 5
+    m = _bare_ncl(n_u, n_i)
+    current = rng.normal(size=(n_u + n_i, D)).astype(np.float32)
+    previous = rng.normal(size=(n_u + n_i, D)).astype(np.float32)
+    user = rng.integers(0, n_u, B)
+    item = rng.integers(0, n_i, B)
+
+    got = float(m._ssl_layer_loss(jnp.asarray(current),
+                                  jnp.asarray(previous),
+                                  jnp.asarray(user), jnp.asarray(item),
+                                  None))
+
+    def side(cur_all, prev_all, idx):
+        e1 = torch.nn.functional.normalize(cur_all[idx])
+        e2 = torch.nn.functional.normalize(prev_all[idx])
+        all2 = torch.nn.functional.normalize(prev_all)
+        pos = torch.exp((e1 * e2).sum(1) / m.ssl_temp)
+        ttl = torch.exp(e1 @ all2.T / m.ssl_temp).sum(1)
+        return -torch.log(pos / ttl).sum()
+
+    cu, ci = t(current[:n_u]), t(current[n_u:])
+    pu, pi = t(previous[:n_u]), t(previous[n_u:])
+    want = m.ssl_reg * (side(cu, pu, torch.tensor(user))
+                        + m.alpha * side(ci, pi, torch.tensor(item)))
+    np.testing.assert_allclose(got, float(want), rtol=1e-4)
+
+
+def test_ncl_proto_nce_matches_torch():
+    """NCL prototype-contrastive loss vs a torch replication of
+    reference ncl.py:106-133 (normalized embeddings vs k-means
+    centroids; centroids enter pre-normalized, as the e-step stores
+    them)."""
+    rng = np.random.default_rng(24)
+    n_u, n_i, D, B, K = 6, 8, 5, 4, 3
+    m = _bare_ncl(n_u, n_i)
+    center = rng.normal(size=(n_u + n_i, D)).astype(np.float32)
+
+    def unit(a):
+        return (a / np.linalg.norm(a, axis=1, keepdims=True)).astype(
+            np.float32)
+
+    extras = {
+        "user_centroids": jnp.asarray(unit(rng.normal(size=(K, D)))),
+        "user_2cluster": jnp.asarray(rng.integers(0, K, n_u), jnp.int32),
+        "item_centroids": jnp.asarray(unit(rng.normal(size=(K, D)))),
+        "item_2cluster": jnp.asarray(rng.integers(0, K, n_i), jnp.int32),
+    }
+    user = rng.integers(0, n_u, B)
+    item = rng.integers(0, n_i, B)
+
+    got = float(m._proto_nce(jnp.asarray(center), extras,
+                             jnp.asarray(user), jnp.asarray(item), None))
+
+    def side(emb_all, idx, cents, assign):
+        e = torch.nn.functional.normalize(emb_all[idx])
+        c = cents[assign[idx]]
+        pos = torch.exp((e * c).sum(1) / m.ssl_temp)
+        ttl = torch.exp(e @ cents.T / m.ssl_temp).sum(1)
+        return -torch.log(pos / ttl).sum()
+
+    want = m.proto_reg * (
+        side(t(center[:n_u]), torch.tensor(user),
+             t(_np(extras["user_centroids"])),
+             torch.tensor(_np(extras["user_2cluster"])))
+        + side(t(center[n_u:]), torch.tensor(item),
+               t(_np(extras["item_centroids"])),
+               torch.tensor(_np(extras["item_2cluster"]))))
+    np.testing.assert_allclose(got, float(want), rtol=1e-4)
+
+
+def test_hmlet_gating_eval_hard_one_hot_matches_numpy():
+    """HMLET gating EVAL path vs a numpy replication of the reference
+    Gating_Net hard gumbel-softmax (hmlet.py:27-84): in eval the gate
+    emits an exact one-hot at argmax of softmax((logits+g)/τ), with the
+    straight-through estimator leaving the forward VALUE hard.  The
+    gumbel draw is reproduced from the same PRNG key sequence."""
+    from recbole_gnn_tpu.models.general.hmlet import HMLET
+    from recbole_gnn_tpu.models.init import linear_params
+
+    rng = np.random.default_rng(25)
+    N, D = 12, 6
+    m = object.__new__(HMLET)
+    m.dropout_ratio = 0.0
+    gate = [{"lin": linear_params(jax.random.PRNGKey(7), D, 2)}]
+    feat = rng.normal(size=(N, D)).astype(np.float32)
+    temp = 0.7
+    key = jax.random.PRNGKey(9)
+
+    y = _np(m._gating(gate, jnp.asarray(feat), temp, key, train=False))
+
+    # replicate: no bn layer → loop does no split; one split for gumbel
+    _, k = jax.random.split(key)
+    u = _np(jax.random.uniform(k, (N, 2)))
+    g = -np.log(-np.log(u + 1e-20) + 1e-20)
+    logits = feat @ _np(gate[0]["lin"]["w"]) + _np(gate[0]["lin"]["b"])
+    soft = (logits + g) / temp
+    hard = (soft == soft.max(axis=-1, keepdims=True)).astype(np.float32)
+    assert ((y == 0.0) | (y == 1.0)).all()          # exact one-hot
+    np.testing.assert_array_equal(y.sum(axis=1), np.ones(N))
+    np.testing.assert_array_equal(y, hard)
+
+
 def test_mhcn_channel_attention_matches_numpy():
     from conftest import base_config_dict
     from recbole_gnn_tpu.config import Config
