@@ -54,6 +54,10 @@ K_CAP = 256
 # pow2 grid ran 86 ms despite 25% MORE padded edges)
 MAX_BUCKETS = 12
 
+# optional single sub-8 bucket width for the lowest-degree group
+# (A/B toggle — 0/None disables; see _bucket_grid.kof)
+_K_SMALL = 0
+
 # per-bucket gathered-message budget: buckets whose (rows·K·D·4) stream
 # would exceed this are processed in static row chunks so the transient
 # (n_b, K, D) message block stays bounded at any edge count
@@ -113,8 +117,13 @@ def _bucket_grid(per_vrow: np.ndarray, k_cap: int,
         # bucket K rounded UP to a multiple of 8: the (n, K) layout is
         # sublane-tiled — hardware-measured, unaligned K is a net LOSS
         # (odd-K DP grid: 130 ms vs pow2's 86 ms at the bench shape
-        # despite 25% less padding)
-        return -(-int(vals[j]) // 8) * 8
+        # despite 25% less padding).  With ``k_small`` a single sub-8
+        # width is additionally allowed for the lowest-degree group
+        # (low-avg-degree graphs otherwise pad deg-1..4 nodes 2-8×).
+        v = int(vals[j])
+        if _K_SMALL and v <= _K_SMALL:
+            return _K_SMALL
+        return -(-v // 8) * 8
 
     def gcost(i, j):   # values i..j inclusive into one bucket
         return kof(j) * (csum[j + 1] - csum[i]) - (cvsum[j + 1] - cvsum[i])

@@ -104,6 +104,42 @@ def test_resume_into_fit_bit_matches_straight_run(tmp_path):
                                       np.asarray(t2.params[k]), err_msg=k)
 
 
+def test_resume_restores_best_score_no_overwrite(tmp_path):
+    """ADVICE r2 (medium): a resumed fit must restore best_score from
+    the checkpoint so a WORSE post-resume validation cannot overwrite a
+    better saved model.  Simulated by resuming with a huge restored
+    best: no epoch can beat it, so the checkpoint file must stay
+    byte-identical through the resumed fit."""
+    from recbole_gnn_tpu.quick_start import (
+        create_dataset, data_preparation)
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.train.checkpoint import (
+        load_checkpoint, save_checkpoint)
+    from recbole_gnn_tpu.train.trainer import Trainer
+
+    cfg = Config(config_dict=base_config_dict(
+        model="BPR", epochs=2, checkpoint_dir=str(tmp_path)))
+    ds = create_dataset(cfg)
+    (tl, tr_ds), (vl, _), _ = data_preparation(cfg, ds)
+    model = get_model("BPR")(cfg, tr_ds)
+    t1 = Trainer(cfg, model)
+    t1.fit(tl, vl, saved=True, verbose=False)
+    ckpt_path = t1.saved_model_file
+    state = load_checkpoint(ckpt_path)
+    assert np.isfinite(float(state["best_score"]))  # persisted
+    # forge an unbeatable pre-resume best
+    state["best_score"] = np.float64(1e9)
+    save_checkpoint(ckpt_path, state)
+    before = open(ckpt_path, "rb").read()
+
+    cfg2 = Config(config_dict=base_config_dict(
+        model="BPR", epochs=4, checkpoint_dir=str(tmp_path)))
+    t2 = Trainer(cfg2, model)
+    best, _ = t2.fit(tl, vl, saved=True, verbose=False, resume=True)
+    assert best == 1e9                       # pre-resume best retained
+    assert open(ckpt_path, "rb").read() == before  # never overwritten
+
+
 def test_evaluate_before_fit_raises(tmp_path):
     from recbole_gnn_tpu.quick_start import (
         create_dataset, data_preparation)
