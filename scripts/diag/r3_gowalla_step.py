@@ -42,6 +42,11 @@ deg = np.bincount(dst, minlength=n).astype(np.float64)
 dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
 w = (dinv[src] * dinv[dst]).astype(np.float32)
 
+if "k4" in sys.argv[1:]:
+    import recbole_gnn_tpu.ops.ell_spmm as _e
+    _e._K_SMALL = 4
+    print("(k4: sub-8 bucket enabled for deg<=4 nodes)", flush=True)
+
 t0 = time.time()
 graph = build_graph(src, dst, w, n, with_ell=True)
 print(f"graph+ell built [{time.time()-t0:.0f}s] "
@@ -140,9 +145,5 @@ def full_step():
 
 
 if __name__ == "__main__":
-    if "k4" in sys.argv[1:]:
-        import recbole_gnn_tpu.ops.ell_spmm as _e
-        print("(k4 experiment mode — edit _bucket_grid kof for this)",
-              flush=True)
     fwd_only()
     full_step()
