@@ -225,6 +225,22 @@ def test_ell_spmm_isolated_nodes_and_rectangular():
     np.testing.assert_array_equal(out[-5:], 0.0)
 
 
+def test_ell_spmm_chunked_bucket_matches_unchunked(monkeypatch):
+    """Web-scale guard: buckets over BUCKET_BYTES_BUDGET process in
+    static row chunks — must be bit-identical to the unchunked path."""
+    import recbole_gnn_tpu.ops.ell_spmm as ell_mod
+    rng = np.random.default_rng(15)
+    src, dst, w, n = random_graph(rng, n=60, e=700)
+    order = np.argsort(dst, kind="stable")
+    meta = ell_mod.build_ell(src[order], dst[order],
+                             w[order].astype(np.float32), n)
+    x = jnp.asarray(rng.normal(size=(n, 16)), jnp.float32)
+    full = np.asarray(ell_mod.ell_spmm(meta, x))
+    monkeypatch.setattr(ell_mod, "BUCKET_BYTES_BUDGET", 4096)
+    chunked = np.asarray(ell_mod.ell_spmm(meta, x))
+    np.testing.assert_array_equal(full, chunked)
+
+
 def test_spmm_ell_path_grad_matches_segsum():
     """spmm() with SPMM_IMPL='ell': forward AND x-gradient (transpose
     ELL over rev layout) must match the segment-sum path."""
