@@ -197,8 +197,11 @@ def test_trainer_mesh_mode_pads_non_divisible_catalog():
     t1.fit(tl, None, saved=False, verbose=False)
     r1 = t1.evaluate(vl, load_best_model=False)
 
+    # epoch_scan exercises the scan-dispatched step under mesh+padding
+    # (the pad plan must thread through the scan fn identically)
     cfg2 = Config(config_dict=base_config_dict(
-        model="LightGCN", epochs=1, mesh_shape={"dp": 4, "tp": 2}))
+        model="LightGCN", epochs=1, mesh_shape={"dp": 4, "tp": 2},
+        epoch_scan=True))
     (tl2, tr_ds2), (vl2, _), _ = data_preparation(cfg2, ds)
     m2 = get_model("LightGCN")(cfg2, tr_ds2)
     t2 = Trainer(cfg2, m2)
