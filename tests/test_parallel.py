@@ -221,6 +221,40 @@ def test_trainer_mesh_mode_pads_non_divisible_catalog():
                                    err_msg=k)
 
 
+def test_mesh_mode_sparse_ell_path_matches_single_device():
+    """dp×tp mesh over the SPARSE (bucketed-ELL) graph path: GSPMD must
+    partition through the per-bucket gathers and the transpose-ELL
+    backward without changing the math."""
+    from conftest import base_config_dict
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.train.trainer import Trainer
+
+    cfg1 = Config(config_dict=base_config_dict(
+        model="LightGCN", epochs=1, enable_sparse=True))
+    ds = create_dataset(cfg1)
+    (tl, tr_ds), _, _ = data_preparation(cfg1, ds)
+    m1 = get_model("LightGCN")(cfg1, tr_ds)
+    assert not hasattr(m1.consts["graph"], "a")   # really sparse
+    assert m1.consts["graph"].ell is not None
+    t1 = Trainer(cfg1, m1)
+    t1.fit(tl, None, saved=False, verbose=False)
+
+    cfg2 = Config(config_dict=base_config_dict(
+        model="LightGCN", epochs=1, enable_sparse=True,
+        mesh_shape={"dp": 4, "tp": 2}))
+    (tl2, tr_ds2), _, _ = data_preparation(cfg2, ds)
+    m2 = get_model("LightGCN")(cfg2, tr_ds2)
+    t2 = Trainer(cfg2, m2)
+    t2.fit(tl2, None, saved=False, verbose=False)
+
+    for k in ("user_emb", "item_emb"):
+        np.testing.assert_allclose(np.asarray(t1.params[k]),
+                                   np.asarray(t2.params[k]),
+                                   rtol=5e-4, atol=5e-5, err_msg=k)
+
+
 def test_two_process_distributed_smoke():
     """VERDICT r2 #8: run.py --distributed exercised end-to-end with a
     REAL 2-process jax.distributed.initialize (CPU backend, localhost
