@@ -258,9 +258,11 @@ def test_mesh_mode_sparse_ell_path_matches_single_device():
 def test_two_process_distributed_smoke():
     """VERDICT r2 #8: run.py --distributed exercised end-to-end with a
     REAL 2-process jax.distributed.initialize (CPU backend, localhost
-    coordinator), dp=4 mesh over 2×2 virtual devices, fixture-scale
-    LightGCN fit + full-sort eval.  Both ranks must finish rc=0 and
-    print identical metrics matching the single-process run."""
+    coordinator), dp=2 × tp=2 mesh over 2×2 virtual devices — the tp
+    axis SPANS the two processes, so the pad-to-shard row-sharded
+    tables exercise cross-host collectives.  Fixture-scale LightGCN
+    fit + full-sort eval; both ranks must finish rc=0 and print
+    identical metrics matching the single-process run."""
     import os
     import re
     import socket
@@ -281,7 +283,7 @@ def test_two_process_distributed_smoke():
              "--num_processes=2", f"--process_id={i}",
              "-m", "LightGCN", "-d", "test",
              "--data_path=tests/test_data", "--epochs=1",
-             "--use_gpu=False", "--mesh_shape={'dp': 4}",
+             "--use_gpu=False", "--mesh_shape={'dp': 2, 'tp': 2}",
              "--checkpoint_dir=/tmp/dist_smoke_ckpt"],
             cwd=root, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True)
