@@ -1,0 +1,261 @@
+"""Edge-sharded SpMM — graphs bigger than one chip's HBM.
+
+SURVEY.md §2.7 names edge-sharding as the scaling axis for the GRAPH
+dimension ("graphs are sparse and replicable or edge-sharded").
+Replication caps the edge count at one chip's HBM; this module
+partitions the bucketed-ELL layout (ops/ell_spmm.py) across a mesh
+axis by contiguous DESTINATION-node blocks:
+
+  forward   each shard owns the edges of its dst block and produces
+            its rows of the output — NO collective (x replicated,
+            compute dst-partitioned, out row-sharded over the axis)
+  backward  dL/dx[s] = Σ_{e: src[e]=s} w[e]·g[dst[e]]: each shard runs
+            a transpose ELL over ITS edges (gather side = its local
+            cotangent rows, reduce side = all source nodes), then the
+            partial gradients psum over the axis — one all-reduce
+
+shard_map needs uniform per-shard shapes, so every shard's buckets are
+built on a COMMON bucket grid and padded to the max rows across shards
+(weight-0 slots — exact, like every other padding here).  Node blocks
+are equal-size; power-law graphs can imbalance edges across dst blocks
+— a known limit, fine for id-ordered catalogs.
+
+Reference counterpart: none — the reference is single-device
+(SURVEY.md §2.7); this is a net-new north-star obligation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from recbole_gnn_tpu.ops.ell_spmm import K_CAP, _bucket_grid
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class _StackedEll:
+    """One direction's stacked per-shard ELL (leading axis = shard)."""
+
+    idxs: tuple              # per bucket: (n_shards, rows_b, K_b) int32
+    ws: tuple                # per bucket: (n_shards, rows_b, K_b) f32
+    order: jax.Array         # (n_shards, n_vrows) int32
+    vnode_sorted: jax.Array  # (n_shards, n_vrows) int32 (local out ids)
+    n_out: int               # output rows per shard
+
+    def tree_flatten(self):
+        return ((self.idxs, self.ws, self.order, self.vnode_sorted),
+                (self.n_out,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ShardedEll:
+    """Edge-sharded graph layout: forward + transpose directions.
+
+    fwd reduce side = shard-local dst block (n_out = node_block);
+    rev reduce side = GLOBAL source nodes (n_out = n_src_nodes),
+    partials psum'd in the backward."""
+
+    fwd: _StackedEll
+    rev: _StackedEll
+    node_block: int
+    n_nodes: int
+    n_src_nodes: int
+    n_shards: int
+
+    def tree_flatten(self):
+        return ((self.fwd, self.rev),
+                (self.node_block, self.n_nodes, self.n_src_nodes,
+                 self.n_shards))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def e_padded(self) -> int:
+        return sum(int(np.prod(i.shape)) for i in self.fwd.idxs)
+
+
+def _fill_bucket(reduce_ids, gather_ids, w, sel, vr, rowptr, K):
+    """Vectorized ELL fill for the nodes ``sel`` of one bucket."""
+    tot = int(vr.sum())
+    idx = np.zeros((tot, K), np.int32)
+    wv = np.zeros((tot, K), np.float32)
+    vnode = np.repeat(sel, vr).astype(np.int32)
+    if tot:
+        starts = np.repeat(rowptr[sel], vr) + (
+            np.arange(tot) - np.repeat(np.cumsum(vr) - vr, vr)) * K
+        ends = np.minimum(starts + K, np.repeat(rowptr[sel + 1], vr))
+        lens = (ends - starts).astype(np.int64)
+        rows = np.repeat(np.arange(tot), lens)
+        cols = np.arange(int(lens.sum())) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        epos = np.repeat(starts, lens) + cols
+        idx[rows, cols] = gather_ids[epos]
+        wv[rows, cols] = w[epos]
+    return idx, wv, vnode
+
+
+def _stacked_direction(edge_shards, n_out):
+    """edge_shards: list of (reduce_ids, gather_ids, w) per shard —
+    reduce_ids in [0, n_out).  Returns a _StackedEll on a common grid."""
+    # common bucket grid over ALL shards' reduce-side degrees
+    all_deg = np.concatenate([
+        np.bincount(r, minlength=n_out) for r, _, _ in edge_shards])
+    pv = np.minimum(np.maximum(all_deg[all_deg > 0], 1), K_CAP)
+    bucket_of = _bucket_grid(pv, K_CAP)
+    ks = sorted(set(int(k) for k in np.unique(bucket_of[pv]))) or [8]
+
+    per_shard = []
+    for reduce_ids, gather_ids, w in edge_shards:
+        order = np.argsort(reduce_ids, kind="stable")
+        r, g, ww = reduce_ids[order], gather_ids[order], w[order]
+        deg = np.bincount(r, minlength=n_out)
+        rowptr = np.zeros(n_out + 1, np.int64)
+        np.cumsum(deg, out=rowptr[1:])
+        pvl = np.minimum(np.maximum(deg, 1), K_CAP)
+        kb = np.maximum(bucket_of[pvl], 1)
+        n_vr = -(-deg // kb)
+        buckets = {}
+        for K in ks:
+            sel = np.where((kb == K) & (deg > 0))[0]
+            buckets[K] = _fill_bucket(r, g, ww, sel, n_vr[sel], rowptr, K)
+        per_shard.append(buckets)
+
+    n_shards = len(edge_shards)
+    idxs, ws = [], []
+    rmaxes = {K: max(sh[K][0].shape[0] for sh in per_shard) for K in ks}
+    for K in ks:
+        i_st = np.zeros((n_shards, rmaxes[K], K), np.int32)
+        w_st = np.zeros((n_shards, rmaxes[K], K), np.float32)
+        for s, sh in enumerate(per_shard):
+            idx, wv, _ = sh[K]
+            i_st[s, :idx.shape[0]] = idx
+            w_st[s, :wv.shape[0]] = wv
+        idxs.append(jnp.asarray(i_st))
+        ws.append(jnp.asarray(w_st))
+
+    vlen = sum(rmaxes.values())
+    orders = np.zeros((n_shards, vlen), np.int32)
+    vsorted = np.zeros((n_shards, vlen), np.int32)
+    for s, sh in enumerate(per_shard):
+        parts = []
+        for K in ks:
+            vn = sh[K][2]
+            # pad vrows map to the last out row with all-zero slots
+            parts.append(np.concatenate(
+                [vn, np.full(rmaxes[K] - vn.shape[0], n_out - 1,
+                             np.int32)]))
+        vn_all = np.concatenate(parts)
+        o = np.argsort(vn_all, kind="stable").astype(np.int32)
+        orders[s] = o
+        vsorted[s] = vn_all[o]
+    return _StackedEll(tuple(idxs), tuple(ws), jnp.asarray(orders),
+                       jnp.asarray(vsorted), int(n_out))
+
+
+def build_sharded_ell(src, dst, w, n_nodes, n_shards,
+                      n_src_nodes=None) -> ShardedEll:
+    """Host build: partition edges by contiguous dst blocks; build the
+    forward (reduce=local dst) and transpose (reduce=global src)
+    stacked layouts."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    w = np.asarray(w, np.float32)
+    n_nodes = int(n_nodes)
+    n_src = int(n_src_nodes if n_src_nodes is not None else n_nodes)
+    node_block = -(-n_nodes // int(n_shards))
+
+    fwd_shards, rev_shards = [], []
+    for s in range(int(n_shards)):
+        lo, hi = s * node_block, (s + 1) * node_block
+        m = (dst >= lo) & (dst < hi)
+        ss, dd, ww = src[m], dst[m] - lo, w[m]
+        fwd_shards.append((dd, ss, ww))      # reduce by local dst
+        rev_shards.append((ss, dd, ww))      # reduce by global src,
+        #                                      gather from local g rows
+    fwd = _stacked_direction(fwd_shards, node_block)
+    rev = _stacked_direction(rev_shards, n_src)
+    return ShardedEll(fwd, rev, node_block, n_nodes, n_src,
+                      int(n_shards))
+
+
+def _ell_apply(idxs, ws, x, d):
+    """One shard's ELL contraction (bucket blocks arrive with their
+    leading shard axis of size 1)."""
+    outs = []
+    for idx, wv in zip(idxs, ws):
+        i2, w2 = idx[0], wv[0]
+        g = x[i2.reshape(-1)].reshape(i2.shape[0], i2.shape[1], d)
+        outs.append(jnp.einsum("nkd,nk->nd", g, w2))
+    return jnp.concatenate(outs, axis=0)
+
+
+def sharded_ell_spmm(meta: ShardedEll, x: jax.Array, mesh: Mesh,
+                     axis: str = "dp") -> jax.Array:
+    """out = A @ x over the edge-sharded layout; differentiable (the
+    backward all-reduces per-shard transpose contributions)."""
+    d = x.shape[-1]
+    node_block = meta.node_block
+    n_src = meta.n_src_nodes
+    fwd, rev = meta.fwd, meta.rev
+    n_fb = len(fwd.idxs)
+    n_rb = len(rev.idxs)
+
+    @jax.custom_vjp
+    def _f(x_):
+        def fwd_shard(order, vnode, x_rep, *arrs):
+            vr = _ell_apply(arrs[:n_fb], arrs[n_fb:], x_rep, d)[order[0]]
+            out = jax.ops.segment_sum(vr, vnode[0],
+                                      num_segments=node_block,
+                                      indices_are_sorted=True)
+            return out[None]
+
+        out = shard_map(
+            fwd_shard, mesh=mesh,
+            in_specs=(P(axis), P(axis), P()) + (P(axis),) * (2 * n_fb),
+            out_specs=P(axis),
+        )(fwd.order, fwd.vnode_sorted, x_, *fwd.idxs, *fwd.ws)
+        return out.reshape(-1, d)[:meta.n_nodes]
+
+    def _vjp_fwd(x_):
+        return _f(x_), None
+
+    def _vjp_bwd(_, g):
+        n_pad = node_block * meta.n_shards
+        gp = jnp.pad(g, ((0, n_pad - meta.n_nodes), (0, 0)))
+        gp = gp.reshape(meta.n_shards, node_block, d)
+
+        def bwd_shard(order, vnode, g_blk, *arrs):
+            vr = _ell_apply(arrs[:n_rb], arrs[n_rb:], g_blk[0],
+                            d)[order[0]]
+            gx = jax.ops.segment_sum(vr, vnode[0], num_segments=n_src,
+                                     indices_are_sorted=True)
+            return gx[None]
+
+        parts = shard_map(
+            bwd_shard, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)) + (P(axis),) * (2 * n_rb),
+            out_specs=P(axis),
+        )(rev.order, rev.vnode_sorted, gp, *rev.idxs, *rev.ws)
+        # (n_shards, n_src, d) partials, sharded on axis 0 — GSPMD
+        # lowers the sum to the cross-shard all-reduce
+        return (jnp.sum(parts, axis=0),)
+
+    _f.defvjp(_vjp_fwd, _vjp_bwd)
+    return _f(x)
