@@ -425,6 +425,20 @@ class GeneralGraphDataset(Dataset):
             return build_dense_bipartite(
                 users, items, w[:half], self.n_users, self.n_items,
                 dtype=dtype)
+        if (self.config["graph_edge_sharding"] and not force_sparse
+                and self.config["mesh_shape"]):
+            # graph HBM scaling: edge-sharded ELL over the mesh axis
+            # (parallel/sharded_spmm.py) — for catalogs whose edge
+            # arrays exceed one chip.  Not for models that re-weight
+            # edges per step (they pass force_sparse=True).
+            from recbole_gnn_tpu.parallel.mesh import make_mesh
+            from recbole_gnn_tpu.parallel.sharded_spmm import (
+                build_sharded_ell)
+            axis = str(self.config["graph_edge_sharding_axis"] or "dp")
+            mesh = make_mesh(dict(self.config["mesh_shape"]))
+            return build_sharded_ell(src, dst, w, n,
+                                     mesh.shape[axis], mesh=mesh,
+                                     axis=axis)
         with_pallas = self.config["use_pallas_spmm"] is not False
         return build_graph(src, dst, w, n, with_pallas=with_pallas)
 

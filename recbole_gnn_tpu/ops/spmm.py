@@ -407,9 +407,13 @@ def spmm_dense_bipartite(graph: BipartiteDenseGraph, x: jax.Array) -> jax.Array:
 
 
 def spmm_any(graph, x: jax.Array) -> jax.Array:
-    """Dispatch over graph representations (dense bipartite | COO)."""
+    """Dispatch over graph representations (dense bipartite | COO |
+    edge-sharded ELL)."""
     if isinstance(graph, BipartiteDenseGraph):
         return spmm_dense_bipartite(graph, x)
+    if type(graph).__name__ == "ShardedEll":   # lazy import avoidance
+        from recbole_gnn_tpu.parallel.sharded_spmm import sharded_ell_spmm
+        return sharded_ell_spmm(graph, x, graph.mesh, graph.axis)
     return spmm(graph, x)
 
 

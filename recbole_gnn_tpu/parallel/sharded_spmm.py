@@ -76,15 +76,25 @@ class ShardedEll:
     n_nodes: int
     n_src_nodes: int
     n_shards: int
+    # mesh/axis ride the pytree AUX (hashable statics) so spmm_any can
+    # dispatch a ShardedEll graph const without extra plumbing
+    mesh: Mesh | None = None
+    axis: str = "dp"
 
     def tree_flatten(self):
         return ((self.fwd, self.rev),
                 (self.node_block, self.n_nodes, self.n_src_nodes,
-                 self.n_shards))
+                 self.n_shards, self.mesh, self.axis))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
+
+    @property
+    def n_edges(self) -> int:
+        # padded-slot count (real nnz not retained) — used only for
+        # reporting, mirrors Graph.n_edges' role
+        return self.e_padded
 
     @property
     def e_padded(self) -> int:
@@ -170,10 +180,12 @@ def _stacked_direction(edge_shards, n_out):
 
 
 def build_sharded_ell(src, dst, w, n_nodes, n_shards,
-                      n_src_nodes=None) -> ShardedEll:
+                      n_src_nodes=None, mesh: Mesh | None = None,
+                      axis: str = "dp") -> ShardedEll:
     """Host build: partition edges by contiguous dst blocks; build the
     forward (reduce=local dst) and transpose (reduce=global src)
-    stacked layouts."""
+    stacked layouts.  Pass ``mesh``/``axis`` to make the result
+    self-dispatching through ops.spmm.spmm_any."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     w = np.asarray(w, np.float32)
@@ -192,7 +204,7 @@ def build_sharded_ell(src, dst, w, n_nodes, n_shards,
     fwd = _stacked_direction(fwd_shards, node_block)
     rev = _stacked_direction(rev_shards, n_src)
     return ShardedEll(fwd, rev, node_block, n_nodes, n_src,
-                      int(n_shards))
+                      int(n_shards), mesh, axis)
 
 
 def _ell_apply(idxs, ws, x, d):

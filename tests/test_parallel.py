@@ -252,6 +252,42 @@ def test_edge_sharded_ell_spmm_matches_dense():
         np.testing.assert_allclose(grad, want_g, rtol=2e-4, atol=2e-4)
 
 
+def test_trainer_edge_sharded_graph_matches_single_device():
+    """graph_edge_sharding: true — the adjacency itself is partitioned
+    over the mesh (dst blocks); training must match the replicated
+    single-device run."""
+    from conftest import base_config_dict
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.train.trainer import Trainer
+
+    cfg1 = Config(config_dict=base_config_dict(
+        model="LightGCN", epochs=1, enable_sparse=True))
+    ds = create_dataset(cfg1)
+    (tl, tr_ds), _, _ = data_preparation(cfg1, ds)
+    m1 = get_model("LightGCN")(cfg1, tr_ds)
+    t1 = Trainer(cfg1, m1)
+    t1.fit(tl, None, saved=False, verbose=False)
+
+    cfg2 = Config(config_dict=base_config_dict(
+        model="LightGCN", epochs=1, enable_sparse=True,
+        graph_edge_sharding=True, mesh_shape={"dp": 4, "tp": 2}))
+    # fresh dataset: the graph builder reads the DATASET's config
+    ds2 = create_dataset(cfg2)
+    (tl2, tr_ds2), _, _ = data_preparation(cfg2, ds2)
+    m2 = get_model("LightGCN")(cfg2, tr_ds2)
+    from recbole_gnn_tpu.parallel.sharded_spmm import ShardedEll
+    assert isinstance(m2.consts["graph"], ShardedEll)
+    t2 = Trainer(cfg2, m2)
+    t2.fit(tl2, None, saved=False, verbose=False)
+
+    for k in ("user_emb", "item_emb"):
+        np.testing.assert_allclose(np.asarray(t1.params[k]),
+                                   np.asarray(t2.params[k]),
+                                   rtol=5e-4, atol=5e-5, err_msg=k)
+
+
 def test_mesh_mode_sparse_ell_path_matches_single_device():
     """dp×tp mesh over the SPARSE (bucketed-ELL) graph path: GSPMD must
     partition through the per-bucket gathers and the transpose-ELL
