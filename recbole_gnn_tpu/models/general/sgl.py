@@ -108,19 +108,45 @@ class SGL(GeneralGraphRecommender):
             outs = outs * self.n_layers
         return jnp.stack(outs, axis=0)
 
-    def init_extras(self, rng):
+    def _view_ell_ws(self, consts, stacked_w):
+        """Per-layer ELL slot weights (fwd + transpose) regathered from
+        the per-epoch view weights — hoisted HERE (epoch granularity)
+        because the (E_pad,) gathers carry the usual per-row cost and
+        must never run per step (ops/ell_spmm.py)."""
+        from recbole_gnn_tpu.ops.ell_spmm import reweight_ws
+        g = consts["graph"]
+        nnz = g.n_edges
+        f_layers, r_layers = [], []
+        for l in range(self.n_layers):
+            wl = stacked_w[l][:nnz]
+            f_layers.append(reweight_ws(g.ell, wl))
+            r_layers.append(reweight_ws(g.rev_ell, wl))
+        # bucket-major stacking: tuple over buckets of (n_layers, n, K)
+        f = tuple(jnp.stack([f_layers[l][b] for l in range(self.n_layers)])
+                  for b in range(len(f_layers[0])))
+        r = tuple(jnp.stack([r_layers[l][b] for l in range(self.n_layers)])
+                  for b in range(len(r_layers[0])))
+        return f, r
+
+    def _make_extras(self, rng, consts):
         k1, k2 = jax.random.split(rng)
-        return {"view1": self._build_view(k1, self.consts),
-                "view2": self._build_view(k2, self.consts)}
+        v1 = self._build_view(k1, consts)
+        v2 = self._build_view(k2, consts)
+        out = {"view1": v1, "view2": v2}
+        if not self._is_dense and consts["graph"].ell is not None:
+            out["view1_ell"], out["view1_ell_r"] = self._view_ell_ws(
+                consts, v1)
+            out["view2_ell"], out["view2_ell_r"] = self._view_ell_ws(
+                consts, v2)
+        return out
+
+    def init_extras(self, rng):
+        return self._make_extras(rng, self.consts)
 
     def epoch_start(self, epoch, params, consts, extras, rng):
         # views rebuilt every epoch (reference train() override :73-80)
         if self._aug_builder is None:
-            def build(r, c):
-                k1, k2 = jax.random.split(r)
-                return {"view1": self._build_view(k1, c),
-                        "view2": self._build_view(k2, c)}
-            self._aug_builder = jax.jit(build)
+            self._aug_builder = jax.jit(self._make_extras)
         return self._aug_builder(rng, consts)
 
     # -- forward ---------------------------------------------------------
@@ -139,12 +165,30 @@ class SGL(GeneralGraphRecommender):
         return self._propagate_layers(
             params, [lambda x, g=g: spmm_any(g, x)] * self.n_layers)
 
-    def _forward_view(self, params, consts, view_weights):
+    def _forward_view(self, params, consts, view_weights,
+                      ell_ws=None, ell_ws_r=None):
         if self._is_dense:
             layers = [
                 (lambda x, a=view_weights[l]: spmm_dense_bipartite(
                     BipartiteDenseGraph(a, self.n_users, self.n_items, 0), x))
                 for l in range(self.n_layers)]
+        elif ell_ws is not None:
+            # per-epoch regathered ELL slot weights ride the extras;
+            # the layouts' statics come from the consts graph — the
+            # augmented views keep full ELL speed
+            from dataclasses import replace as _rep
+            from recbole_gnn_tpu.ops.ell_spmm import with_ws
+            g = consts["graph"]
+
+            def make(l):
+                gl = _rep(
+                    g, weight=view_weights[l],
+                    ell=with_ws(g.ell, tuple(b[l] for b in ell_ws)),
+                    rev_ell=with_ws(g.rev_ell,
+                                    tuple(b[l] for b in ell_ws_r)))
+                return lambda x: spmm_any(gl, x)
+
+            layers = [make(l) for l in range(self.n_layers)]
         else:
             g = consts["graph"]
             layers = [
@@ -166,8 +210,12 @@ class SGL(GeneralGraphRecommender):
         user, pos, neg = batch["user_id"], batch["item_id"], batch["neg_item_id"]
         w = batch.get("weight")
         u_all, i_all = self._forward_base(params, consts)
-        u1, i1 = self._forward_view(params, consts, extras["view1"])
-        u2, i2 = self._forward_view(params, consts, extras["view2"])
+        u1, i1 = self._forward_view(params, consts, extras["view1"],
+                                    extras.get("view1_ell"),
+                                    extras.get("view1_ell_r"))
+        u2, i2 = self._forward_view(params, consts, extras["view2"],
+                                    extras.get("view2_ell"),
+                                    extras.get("view2_ell_r"))
 
         u_e, p_e, n_e = u_all[user], i_all[pos], i_all[neg]
         l1 = -jax.nn.log_sigmoid(

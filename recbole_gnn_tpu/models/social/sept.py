@@ -72,10 +72,10 @@ class SEPT(SocialRecommender):
         net_src, net_dst = dataset.net_edges()
         src = np.concatenate([users, items + n, net_src])
         dst = np.concatenate([items + n, users, net_dst])
-        # always consumed re-weighted (per-epoch edge dropout), so the
-        # baked-weight ELL layout would never engage — skip building it
+        # consumed re-weighted per EPOCH: the ELL layouts engage via
+        # the extras-carried regathered slot weights (epoch_start)
         sub = build_graph(src, dst, np.ones(len(src), np.float32),
-                          n + self.n_items, with_ell=False)
+                          n + self.n_items)
         self.consts["sub_graph"] = sub
         self._n_inter = len(users)
         self._n_net = len(net_src)
@@ -99,7 +99,19 @@ class SEPT(SocialRecommender):
     # -- per-epoch subgraph ------------------------------------------------
 
     def init_extras(self, rng):
-        return {"sub_weight": self._build_sub_weight(rng, self.consts)}
+        return self._make_extras(rng, self.consts)
+
+    def _make_extras(self, rng, consts):
+        w = self._build_sub_weight(rng, consts)
+        out = {"sub_weight": w}
+        g = consts["sub_graph"]
+        if g.ell is not None:
+            # epoch-granularity ELL reweight (never per step — the
+            # (E_pad,) gathers carry the usual per-row cost)
+            from recbole_gnn_tpu.ops.ell_spmm import reweight_ws
+            out["sub_ell"] = reweight_ws(g.ell, w[:g.n_edges])
+            out["sub_ell_r"] = reweight_ws(g.rev_ell, w[:g.n_edges])
+        return out
 
     def _build_sub_weight(self, rng, consts):
         # consts passed explicitly: closure-captured edge arrays would
@@ -116,8 +128,7 @@ class SEPT(SocialRecommender):
         if epoch < self.warm_up_epochs:
             return extras
         if self._sub_builder is None:
-            self._sub_builder = jax.jit(
-                lambda r, c: {"sub_weight": self._build_sub_weight(r, c)})
+            self._sub_builder = jax.jit(self._make_extras)
         return self._sub_builder(rng, consts)
 
     def loss_mode(self, epoch):
@@ -177,7 +188,15 @@ class SEPT(SocialRecommender):
         if mode == 0:
             return rec_loss, aux
 
-        sub = consts["sub_graph"].with_weight(extras["sub_weight"])
+        if "sub_ell" in extras:
+            from dataclasses import replace as _rep
+            from recbole_gnn_tpu.ops.ell_spmm import with_ws
+            g0 = consts["sub_graph"]
+            sub = _rep(g0, weight=extras["sub_weight"],
+                       ell=with_ws(g0.ell, extras["sub_ell"]),
+                       rev_ell=with_ws(g0.rev_ell, extras["sub_ell_r"]))
+        else:
+            sub = consts["sub_graph"].with_weight(extras["sub_weight"])
         aug_u_all, _ = self._joint_forward(params, lambda x: spmm(sub, x))
         friend_all, sharing_all = self._user_view_forward(params, consts)
 

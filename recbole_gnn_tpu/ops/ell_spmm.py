@@ -31,10 +31,12 @@ HBM bandwidth (~0.5 ns/edge), leaving only the irreducible gather:
               (n_vrows ≈ n_nodes rows — cheap)
 
 Measured (same probe protocol): 8.8 ns/edge with pow2 buckets
-(E_pad/E = 1.34); multiples-of-4 buckets cut the padding to ~1.07.
-Weights are baked into the layout at build time: graphs re-weighted
-per step (edge dropout / SGL / SEPT augmentation) must use the
-segment-sum path (Graph.with_weight clears the ELL metadata).
+(E_pad/E = 1.34); the mult-8 DP grid reaches 7.1 ns/edge.
+Weights are baked into the layout at build time; dynamic weights have
+two routes: Graph.with_weight(...) clears the layouts (per-STEP
+re-weighting → segment-sum path), and with_weight(rebuild_ell=True) /
+reweight_ws regather the slot weights via recorded edge ids — the
+per-EPOCH route (SGL/SEPT augmentation) that keeps ELL speed.
 """
 
 from __future__ import annotations
@@ -84,14 +86,21 @@ class EllMeta:
     order: jax.Array
     vnode_sorted: jax.Array
     n_nodes: int
+    # optional per-slot EDGE ids (into the graph's dst-sorted edge
+    # array; pad slots point one past the end) — lets ell_reweight
+    # regather dynamic weights into the layout (epoch-level
+    # augmentation: SGL/SEPT) instead of falling back to segment-sum
+    eposs: tuple | None = None
 
     def tree_flatten(self):
-        return ((self.idxs, self.ws, self.order, self.vnode_sorted),
+        return ((self.idxs, self.ws, self.order, self.vnode_sorted,
+                 self.eposs),
                 (self.n_nodes,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0])
+        return cls(children[0], children[1], children[2], children[3],
+                   aux[0], children[4])
 
     @property
     def e_padded(self) -> int:
@@ -160,11 +169,17 @@ def _bucket_grid(per_vrow: np.ndarray, k_cap: int,
 def build_ell(src_sorted: np.ndarray, dst_sorted: np.ndarray,
               w_sorted: np.ndarray, n_nodes: int,
               k_cap: int = K_CAP,
-              max_buckets: int = MAX_BUCKETS) -> EllMeta:
+              max_buckets: int = MAX_BUCKETS,
+              with_epos: bool = False,
+              edge_ids: np.ndarray | None = None) -> EllMeta:
     """Host-side layout build from a dst-sorted COO triple.
 
     Vectorized (no per-node Python loop): per bucket, slot positions
-    are filled with a flat repeat/cumsum construction."""
+    are filled with a flat repeat/cumsum construction.  With
+    ``with_epos`` each slot also records its edge id (``edge_ids``
+    translates positions in this call's ordering to the caller's
+    canonical edge ids — used by the transpose layout), enabling
+    ell_reweight for epoch-level dynamic weights."""
     src_sorted = np.asarray(src_sorted, np.int32)
     dst_sorted = np.asarray(dst_sorted, np.int64)
     w_sorted = np.asarray(w_sorted, np.float32)
@@ -177,7 +192,8 @@ def build_ell(src_sorted: np.ndarray, dst_sorted: np.ndarray,
     kb = np.maximum(bucket_of[per_vrow], 1)
     n_vrows = -(-deg // kb)      # 0 for isolated nodes
 
-    idxs, ws, vnodes = [], [], []
+    n_edges = len(src_sorted)
+    idxs, ws, vnodes, eposs = [], [], [], []
     for K in np.unique(kb[deg > 0]):
         sel = np.where((kb == K) & (deg > 0))[0]
         vr = n_vrows[sel]
@@ -199,6 +215,14 @@ def build_ell(src_sorted: np.ndarray, dst_sorted: np.ndarray,
         idxs.append(idx)
         ws.append(ww)
         vnodes.append(vnode)
+        if with_epos:
+            # pad slots point one past the last edge (ell_reweight
+            # appends a 0 there)
+            ep = np.full((tot, K), n_edges, np.int32)
+            canon = (edge_ids[epos] if edge_ids is not None
+                     else epos.astype(np.int64))
+            ep[rows, cols] = canon.astype(np.int32)
+            eposs.append(ep)
 
     if vnodes:
         vnode_all = np.concatenate(vnodes)
@@ -209,7 +233,32 @@ def build_ell(src_sorted: np.ndarray, dst_sorted: np.ndarray,
                    tuple(jnp.asarray(a) for a in ws),
                    jnp.asarray(order),
                    jnp.asarray(vnode_all[order]),
-                   int(n_nodes))
+                   int(n_nodes),
+                   tuple(jnp.asarray(a) for a in eposs)
+                   if with_epos else None)
+
+
+def reweight_ws(meta: EllMeta, weight: jax.Array) -> tuple:
+    """Just the re-gathered per-bucket slot-weight tuple (the piece
+    models store in EXTRAS per epoch — layout statics stay in consts)."""
+    assert meta.eposs is not None, "build_ell(..., with_epos=True) first"
+    wpad = jnp.concatenate([weight.astype(jnp.float32),
+                            jnp.zeros((1,), jnp.float32)])
+    return tuple(wpad[ep] for ep in meta.eposs)
+
+
+def with_ws(meta: EllMeta, ws: tuple) -> EllMeta:
+    """EllMeta with replaced slot weights (shapes must match)."""
+    return EllMeta(meta.idxs, ws, meta.order, meta.vnode_sorted,
+                   meta.n_nodes, meta.eposs)
+
+
+def ell_reweight(meta: EllMeta, weight: jax.Array) -> EllMeta:
+    """New EllMeta whose slot weights come from ``weight`` (the
+    graph's CANONICAL dst-sorted edge-weight array).  Device-side, one
+    (E_pad,) scalar gather — cheap when amortized per epoch (SGL/SEPT
+    re-augmentation).  Requires a layout built with ``with_epos``."""
+    return with_ws(meta, reweight_ws(meta, weight))
 
 
 def ell_spmm(meta: EllMeta, x: jax.Array) -> jax.Array:

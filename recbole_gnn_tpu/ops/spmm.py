@@ -135,15 +135,29 @@ class Graph:
             rev_weight=self.weight)
 
     def with_weight(self, weight: jax.Array,
-                    rev_weight: jax.Array | None = None) -> "Graph":
+                    rev_weight: jax.Array | None = None,
+                    rebuild_ell: bool = False) -> "Graph":
         """New graph with re-weighted edges (dropout / augmentation).
         Pass ``rev_weight`` (= weight[rev_edge_id]) if you can compute
         it cheaply (e.g. once per epoch); otherwise the backward pays a
-        per-call (E,) gather to rebuild it.  Clears the bucketed-ELL
-        layouts (their weights are baked in at build time) — the
-        re-weighted graph runs on the segment-sum path."""
+        per-call (E,) gather to rebuild it.
+
+        ELL handling: by default the bucketed-ELL layouts are CLEARED
+        (their weights are baked at build time) and the re-weighted
+        graph runs on the segment-sum path.  With ``rebuild_ell=True``
+        the layouts are re-weighted in place (two (E_pad,) scalar
+        gathers via the recorded edge ids) and the graph keeps ELL
+        speed — do this ONCE PER EPOCH (SGL/SEPT augmentation), never
+        per step: the gathers are per-row-cost like any gather."""
+        ell = rev_ell = None
+        if rebuild_ell and self.ell is not None \
+                and getattr(self.ell, "eposs", None) is not None:
+            from recbole_gnn_tpu.ops.ell_spmm import ell_reweight
+            w_real = weight[:self.n_edges]   # strip pallas padding
+            ell = ell_reweight(self.ell, w_real)
+            rev_ell = ell_reweight(self.rev_ell, w_real)
         return replace(self, weight=weight, rev_weight=rev_weight,
-                       ell=None, rev_ell=None)
+                       ell=ell, rev_ell=rev_ell)
 
 
 def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
@@ -179,11 +193,15 @@ def build_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
         # layouts built from the REAL edges only (positions ≥ nnz are
         # pallas padding).  Forward: reduce by dst, gather by src.
         # Transpose (the custom-VJP backward): reduce by src, gather
-        # by dst — re-sorted here on host.
-        ell = build_ell(src[:nnz], dst[:nnz], weight[:nnz], n_nodes)
+        # by dst — re-sorted here on host.  Both record per-slot edge
+        # ids in CANONICAL (dst-sorted) space so with_weight(...,
+        # rebuild_ell=True) can regather epoch-level dynamic weights.
+        ell = build_ell(src[:nnz], dst[:nnz], weight[:nnz], n_nodes,
+                        with_epos=True)
         r_order = np.argsort(src[:nnz], kind="stable")
         rev_ell = build_ell(dst[:nnz][r_order], src[:nnz][r_order],
-                            weight[:nnz][r_order], n_src_nodes)
+                            weight[:nnz][r_order], n_src_nodes,
+                            with_epos=True, edge_ids=r_order)
     rev_src = rev_dst = rev_eid = rev_w = None
     if with_reverse:
         rev_order = np.argsort(src, kind="stable").astype(np.int32)

@@ -291,6 +291,79 @@ def test_with_weight_clears_ell():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_with_weight_rebuild_ell_matches_segsum():
+    """Epoch-level dynamic weights (SGL/SEPT): with_weight(...,
+    rebuild_ell=True) regathers the ELL slot weights via the recorded
+    edge ids — forward AND x-grad must match the segment-sum path on
+    the new weights."""
+    import importlib
+    spmm_mod = importlib.import_module("recbole_gnn_tpu.ops.spmm")
+    rng = np.random.default_rng(16)
+    src, dst, w, n = random_graph(rng, n=30, e=240)
+    g = build_graph(src, dst, w, n)
+    new_w = g.weight * jnp.asarray(
+        rng.random(len(src)) > 0.3, jnp.float32)   # static-nnz dropout
+    g2 = g.with_weight(new_w, rebuild_ell=True)
+    assert g2.ell is not None and g2.rev_ell is not None
+    x = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+
+    def run():
+        out = spmm(g2, x)
+        grad = jax.grad(lambda x_: jnp.sum(spmm(g2, x_) * cot))(x)
+        return np.asarray(out), np.asarray(grad)
+
+    old = spmm_mod.SPMM_IMPL
+    try:
+        spmm_mod.SPMM_IMPL = "ell"
+        out_e, grad_e = run()
+        spmm_mod.SPMM_IMPL = "xla"
+        out_x, grad_x = run()
+    finally:
+        spmm_mod.SPMM_IMPL = old
+    np.testing.assert_allclose(out_e, out_x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(grad_e, grad_x, rtol=1e-4, atol=1e-4)
+
+
+def test_sgl_sparse_ell_views_match_segsum():
+    """SGL's per-epoch augmented views on the sparse path: the
+    extras-carried regathered ELL slot weights must produce exactly
+    the loss of the segment-sum fallback."""
+    import importlib
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from conftest import base_config_dict
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    from recbole_gnn_tpu.models import get_model
+    spmm_mod = importlib.import_module("recbole_gnn_tpu.ops.spmm")
+
+    cfg = Config(config_dict=base_config_dict(
+        model="SGL", epochs=1, enable_sparse=True))
+    ds = create_dataset(cfg)
+    (tl, tr_ds), _, _ = data_preparation(cfg, ds)
+    model = get_model("SGL")(cfg, tr_ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    extras = model.init_extras(jax.random.PRNGKey(1))
+    assert "view1_ell" in extras
+    batch = next(iter(tl))
+    rng = jax.random.PRNGKey(2)
+
+    old = spmm_mod.SPMM_IMPL
+    try:
+        spmm_mod.SPMM_IMPL = "ell"
+        l_ell, _ = model.calculate_loss(params, model.consts, extras,
+                                        batch, rng)
+        # strip the ELL extras → segsum fallback (with_weight path)
+        extras2 = {k: v for k, v in extras.items() if "ell" not in k}
+        spmm_mod.SPMM_IMPL = "xla"
+        l_xla, _ = model.calculate_loss(params, model.consts, extras2,
+                                        batch, rng)
+    finally:
+        spmm_mod.SPMM_IMPL = old
+    np.testing.assert_allclose(float(l_ell), float(l_xla), rtol=1e-4)
+
+
 def test_spmm_weight_grad_default_is_zero():
     """Contract pin: spmm's DEFAULT is weight_grad=False — the weight
     cotangent is an all-zeros placeholder.  Any future model whose edge
