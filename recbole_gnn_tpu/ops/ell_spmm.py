@@ -19,11 +19,11 @@ wrong: the gather is 4.5 of those ns; the REDUCTION is the pig.  This
 layout makes the reduction a fixed-shape axis sum, which XLA streams at
 HBM bandwidth (~0.5 ns/edge), leaving only the irreducible gather:
 
-  host prep   nodes are bucketed by in-degree rounded UP to the bucket
-              grid (multiples of 4 up to K_CAP=256; nodes beyond K_CAP
-              split into several virtual rows of K_CAP); each (virtual)
-              row's edge list is padded to the bucket K with weight-0
-              edges on source row 0
+  host prep   nodes are bucketed by in-degree: a small DP picks
+              ≤ MAX_BUCKETS widths (multiples of 8 — sublane tiling —
+              up to K_CAP=256; nodes beyond K_CAP split into several
+              virtual rows); each (virtual) row's edge list is padded
+              to the bucket K with weight-0 edges on source row 0
   device      per bucket:  out_b = Σ_k  w[:, k] · x[idx[:, k]]
               — an (n_b·K) row gather + streaming multiply-sum
   combine     virtual-row results are re-ordered by a HOST-precomputed
