@@ -502,6 +502,35 @@ def test_hmlet_gating_eval_hard_one_hot_matches_numpy():
     np.testing.assert_array_equal(y, hard)
 
 
+def test_xsimgcl_unique_batch_cl_matches_torch():
+    """XSimGCL's CL term contrasts the UNIQUE batch ids against each
+    other (reference xsimgcl.py:56,50-56: torch.unique then
+    mean-reduced NCE over that set).  Our static-shape path
+    (masked_unique + cl_nce_masked with weight-0 padding) must equal
+    the torch reference on a batch WITH duplicates."""
+    from recbole_gnn_tpu.models.losses import cl_nce_masked, masked_unique
+
+    rng = np.random.default_rng(26)
+    N, D, B = 15, 6, 12
+    x1_all = rng.normal(size=(N, D)).astype(np.float32)
+    x2_all = rng.normal(size=(N, D)).astype(np.float32)
+    ids = rng.integers(1, N, B)   # id 0 is PAD, never in a real batch
+    ids[3] = ids[0]
+    ids[7] = ids[1]          # force duplicates
+
+    uu, mask = masked_unique(jnp.asarray(ids))
+    got = float(cl_nce_masked(jnp.asarray(x1_all)[uu],
+                              jnp.asarray(x2_all)[uu], 0.2, mask, "mean"))
+
+    uniq = torch.unique(torch.tensor(ids))
+    x1 = torch.nn.functional.normalize(t(x1_all)[uniq])
+    x2 = torch.nn.functional.normalize(t(x2_all)[uniq])
+    pos = torch.exp((x1 * x2).sum(-1) / 0.2)
+    ttl = torch.exp(x1 @ x2.T / 0.2).sum(1)
+    want = float((-torch.log(pos / ttl)).mean())
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
 def test_mhcn_channel_attention_matches_numpy():
     from conftest import base_config_dict
     from recbole_gnn_tpu.config import Config
