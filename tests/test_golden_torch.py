@@ -531,6 +531,47 @@ def test_xsimgcl_unique_batch_cl_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+def test_mhcn_mim_matches_torch():
+    """MHCN hierarchical mutual-information loss vs a torch replication
+    of reference mhcn.py:217-241 (self-gated users, hypergraph-conv
+    edge embeddings, row / row-column shuffles, local + global MIM) —
+    with the SAME permutations injected (reproduced from the jax PRNG
+    sequence _mim draws)."""
+    from recbole_gnn_tpu.models.social.mhcn import MHCN
+    from recbole_gnn_tpu.models.init import linear_params
+
+    rng_np = np.random.default_rng(27)
+    N, D = 10, 6
+    m = object.__new__(MHCN)
+    user_all = jnp.asarray(rng_np.normal(size=(N, D)), jnp.float32)
+    H = jnp.asarray(rng_np.normal(size=(N, N)), jnp.float32)
+    params = {"g": {"lin": linear_params(jax.random.PRNGKey(11), D, D)}}
+    key = jax.random.PRNGKey(12)
+
+    got = float(m._mim(params, {"H": H}, user_all, "H", "g", key))
+
+    # torch replication with the same permutation draws
+    k1, k2, k3 = jax.random.split(key, 3)
+    pr = np.asarray(jax.random.permutation(k1, N))
+    pr2 = np.asarray(jax.random.permutation(k2, N))
+    pc = np.asarray(jax.random.permutation(k3, D))
+    u = t(_np(user_all))
+    W = t(_np(params["g"]["lin"]["w"]))
+    b = t(_np(params["g"]["lin"]["b"]))
+    emb = u * torch.sigmoid(u @ W + b)
+    edge = t(_np(H)) @ emb
+    score = lambda a, b_: (a * b_).sum(1)
+    rc = edge[:, torch.tensor(pc)][torch.tensor(pr2)]
+    pos = score(emb, edge)
+    neg1 = score(emb[torch.tensor(pr)], edge)
+    neg2 = score(rc, emb)
+    sig = torch.nn.functional.logsigmoid
+    local = (-sig(pos - neg1) - sig(neg1 - neg2)).sum()
+    graph = edge.mean(0, keepdim=True)
+    glob = (-sig(score(edge, graph) - score(rc, graph))).sum()
+    np.testing.assert_allclose(got, float(local + glob), rtol=1e-4)
+
+
 def test_mhcn_channel_attention_matches_numpy():
     from conftest import base_config_dict
     from recbole_gnn_tpu.config import Config
