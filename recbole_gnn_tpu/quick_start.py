@@ -79,8 +79,10 @@ def create_dataset(config):
     if config["save_dataset"]:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         cfg_ref, ds.config = ds.config, None  # configs aren't picklable-stable
-        with open(path, "wb") as f:
+        tmp = f"{path}.tmp.{os.getpid()}"   # atomic: multi-host ranks
+        with open(tmp, "wb") as f:          # share the checkpoint dir
             pickle.dump({"key": want_key, "dataset": ds}, f)
+        os.replace(tmp, path)
         ds.config = cfg_ref
     return ds
 
@@ -140,9 +142,11 @@ def data_preparation(config, dataset):
             cfgs = [s.config for s in (train_ds, valid_ds, test_ds)]
             for s in (train_ds, valid_ds, test_ds):
                 s.config = None
-            with open(cache_path, "wb") as f:
+            tmp = f"{cache_path}.tmp.{os.getpid()}"   # atomic (multi-host)
+            with open(tmp, "wb") as f:
                 pickle.dump({"key": want_key,
                              "splits": (train_ds, valid_ds, test_ds)}, f)
+            os.replace(tmp, cache_path)
             for s, c in zip((train_ds, valid_ds, test_ds), cfgs):
                 s.config = c
     is_seq = config["MODEL_TYPE"] == ModelType.SEQUENTIAL

@@ -59,7 +59,14 @@ def _unflatten(flat: dict):
 
 
 def save_checkpoint(path: str, state: dict):
-    """state: any nested dict/list/tuple of arrays + scalars."""
+    """state: any nested dict/list/tuple of arrays + scalars.
+
+    The write is ATOMIC (tmp file in the same dir + os.replace): in
+    multi-process runs every rank writes the (identical, GSPMD-global)
+    checkpoint to the same shared-filesystem path while other ranks may
+    be loading it for evaluate(load_best_model=True) — a plain open(wb)
+    let a reader see a torn file (observed as a flaky rc=1 in the
+    2-process CI smoke test)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     host_state = jax.tree_util.tree_map(
         lambda x: np.asarray(x) if hasattr(x, "shape") else x, state)
@@ -69,8 +76,14 @@ def save_checkpoint(path: str, state: dict):
     buf = io.BytesIO()
     np.savez_compressed(buf, **{k.replace("/", "||"): v
                                 for k, v in arrays.items()})
-    with open(path, "wb") as f:
-        pickle.dump({"npz": buf.getvalue(), "meta": meta}, f)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            pickle.dump({"npz": buf.getvalue(), "meta": meta}, f)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def load_checkpoint(path: str) -> dict:
