@@ -30,6 +30,11 @@ _DATASET_CACHE_KEYS = (
     "undirected_net",
 )
 
+# bump when the pickled dataset/split schema changes (a stale cache
+# would otherwise feed models arrays they no longer expect) —
+# r4: LESSR eop_mail/eop_mail_cnt added to session_graphs
+_DATASET_SCHEMA_VERSION = 2
+
 
 def create_dataset(config):
     """Resolve + build the dataset for config['model'] (precedence
@@ -65,6 +70,7 @@ def create_dataset(config):
     path = os.path.join(config["checkpoint_dir"] or "saved/",
                         f"{config['dataset']}-{cls.__name__}.pth")
     want_key = {k: config[k] for k in _DATASET_CACHE_KEYS}
+    want_key["__schema__"] = _DATASET_SCHEMA_VERSION
     if config["save_dataset"] and os.path.isfile(path):
         try:
             with open(path, "rb") as f:
@@ -122,6 +128,7 @@ def data_preparation(config, dataset):
             config["checkpoint_dir"] or "saved/",
             f"{config['dataset']}-{cls_name}-splits.pth")
         want_key = {k: config[k] for k in _DATASET_CACHE_KEYS}
+        want_key["__schema__"] = _DATASET_SCHEMA_VERSION
         want_key["eval_args"] = config["eval_args"]
         if os.path.isfile(cache_path):
             try:
