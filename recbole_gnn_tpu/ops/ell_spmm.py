@@ -56,9 +56,14 @@ K_CAP = 256
 # pow2 grid ran 86 ms despite 25% MORE padded edges)
 MAX_BUCKETS = 12
 
-# optional single sub-8 bucket width for the lowest-degree group
-# (A/B toggle — 0/None disables; see _bucket_grid.kof)
-_K_SMALL = 0
+# single sub-8 bucket width allowed for the lowest-degree group.
+# Default 4 (r4, hardware-measured): at gowalla shape (1.4M nodes,
+# avg deg 8.6) the deg≤4 mass otherwise pads 2-8× — with K=4 the
+# layout E_pad/E drops 1.427 → 1.210 and the measured fwd SpMM goes
+# 17.21 → 11.33 ns/edge (scripts/diag/r3_gowalla_step.py k4 A/B);
+# at the high-avg-degree bench shape the grid is unchanged within
+# 0.1% padded edges.  0/None disables (see _bucket_grid.kof).
+_K_SMALL = 4
 
 # per-bucket gathered-message budget: buckets whose (rows·K·D·4) stream
 # would exceed this are processed in static row chunks so the transient

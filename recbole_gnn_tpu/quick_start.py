@@ -230,7 +230,8 @@ def run_recbole_gnn_tpu(model=None, dataset=None, config_file_list=None,
             f"model + graph consts built [{_time.time() - t0:.1f}s]")
 
     best_valid_score, best_valid_result = trainer.fit(
-        train_loader, valid_loader, saved=saved, verbose=verbose)
+        train_loader, valid_loader, saved=saved, verbose=verbose,
+        resume=bool(config["resume"]))
     test_result = trainer.evaluate(test_loader, load_best_model=saved)
     if verbose:
         logger.info(f"best valid : {best_valid_result}")

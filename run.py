@@ -21,6 +21,9 @@ if __name__ == "__main__":
     parser.add_argument("--config_files", type=str, default=None)
     parser.add_argument("--distributed", action="store_true",
                         help="initialize jax.distributed (multi-host pod)")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue training from the saved checkpoint "
+                             "(params + optimizer + extras at best epoch)")
     parser.add_argument("--coordinator_address", type=str, default=None)
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
@@ -45,6 +48,8 @@ if __name__ == "__main__":
 
     config_file_list = (args.config_files.strip().split(",")
                         if args.config_files else None)
+    if args.resume:
+        config_dict["resume"] = True
     run_recbole_gnn_tpu(model=args.model, dataset=args.dataset,
                         config_file_list=config_file_list,
                         config_dict=config_dict)

@@ -11,9 +11,9 @@ if __name__ == "__main__":
     parser.add_argument("--params_file", type=str, required=True)
     parser.add_argument("--output_file", type=str, default="hyper_result.txt")
     parser.add_argument("--algo", type=str, default="exhaustive",
-                        choices=["exhaustive", "random"])
+                        choices=["exhaustive", "random", "bayes"])
     parser.add_argument("--max_evals", type=int, default=30,
-                        help="evaluation budget for --algo=random")
+                        help="evaluation budget for --algo=random/bayes")
     args = parser.parse_args()
 
     config_file_list = (args.config_files.strip().split(",")

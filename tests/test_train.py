@@ -193,6 +193,66 @@ def test_hyper_tuning_random(tmp_path):
         list(hp.params2result.keys())
 
 
+def test_resume_config_key_and_fresh_start(tmp_path):
+    """config['resume'] (run.py --resume) plumbs into fit(); with no
+    checkpoint on disk it starts fresh instead of raising."""
+    from recbole_gnn_tpu.quick_start import run_recbole_gnn_tpu
+
+    cfg = base_config_dict(model="BPR", epochs=1, resume=True,
+                           checkpoint_dir=str(tmp_path))
+    res = run_recbole_gnn_tpu(config_dict=cfg, saved=True, verbose=False)
+    assert "test_result" in res
+    # second run resumes from the just-written checkpoint (epoch 0) and
+    # must complete without error
+    cfg2 = base_config_dict(model="BPR", epochs=2, resume=True,
+                            checkpoint_dir=str(tmp_path))
+    res2 = run_recbole_gnn_tpu(config_dict=cfg2, saved=True, verbose=False)
+    assert "test_result" in res2
+
+
+def test_tensorboard_hparams_export(tmp_path):
+    """fit() exports hparams + best valid metrics to TB at the end
+    ([recbole] _add_hparam_to_tensorboard analog)."""
+    import os
+    from recbole_gnn_tpu.quick_start import run_recbole_gnn_tpu
+
+    tb = tmp_path / "tb"
+    cfg = base_config_dict(model="BPR", epochs=1,
+                           tensorboard_dir=str(tb),
+                           checkpoint_dir=str(tmp_path))
+    run_recbole_gnn_tpu(config_dict=cfg, saved=False, verbose=False)
+    files = [os.path.join(r, f) for r, _, fs in os.walk(tb) for f in fs]
+    assert files, "no tensorboard event files written"
+    # add_hparams writes a sub-run directory with its own event file
+    assert any(os.path.dirname(f) != str(tb) for f in files), \
+        "no hparams sub-run found"
+
+
+def test_hyper_tuning_bayes(tmp_path):
+    """TPE-style algo: respects the budget, explores startup randomly,
+    then proposes from the good/bad density ratio (VERDICT r3 #8)."""
+    from recbole_gnn_tpu.hyper import HyperTuning
+
+    pf = tmp_path / "params.hyper"
+    pf.write_text("embedding_size choice [8,16]\n"
+                  "learning_rate loguniform [1e-4, 1e-2]\n")
+    hp = HyperTuning(params_file=str(pf), algo="bayes", max_evals=7,
+                     fixed_config_dict=base_config_dict(model="BPR"))
+    best_params, best_result = hp.run()
+    assert len(hp.params2result) == 7      # budget exactly consumed
+    assert best_params["embedding_size"] in (8, 16)
+    assert 1e-4 <= best_params["learning_rate"] <= 1e-2
+    assert best_result["best_valid_score"] == hp.best_score
+    # the TPE ratio itself: candidates near the good cluster must score
+    # above candidates near the bad cluster
+    good = [{"learning_rate": 1e-3, "embedding_size": 16}] * 3
+    bad = [{"learning_rate": 1e-4, "embedding_size": 8}] * 3
+    near_good = {"learning_rate": 1.1e-3, "embedding_size": 16}
+    near_bad = {"learning_rate": 1.1e-4, "embedding_size": 8}
+    assert (hp._tpe_logratio(near_good, good, bad)
+            > hp._tpe_logratio(near_bad, good, bad))
+
+
 def test_config_cascade_precedence(tmp_path):
     # model yaml < user file < config dict
     f = tmp_path / "user.yaml"
