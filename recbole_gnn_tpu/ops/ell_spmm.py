@@ -272,27 +272,32 @@ def ell_spmm(meta: EllMeta, x: jax.Array) -> jax.Array:
     ops.spmm.spmm(), whose VJP runs the transpose as another ell_spmm
     over the reverse layout."""
     d = x.shape[-1]
-    outs = []
-    for idx, w in zip(meta.idxs, meta.ws):
-        n_b, k = idx.shape
-        bytes_b = n_b * k * d * 4
-        if bytes_b <= BUCKET_BYTES_BUDGET:
-            outs.append(_bucket_sum(x, idx, w, d))
-        else:
-            # static row-chunked accumulation: bound the transient
-            # (rows, K, D) message block
-            rows_per = max(1, BUCKET_BYTES_BUDGET // (k * d * 4))
-            parts = []
-            for lo in range(0, n_b, rows_per):
-                hi = min(lo + rows_per, n_b)
-                parts.append(_bucket_sum(x, idx[lo:hi], w[lo:hi], d))
-            outs.append(jnp.concatenate(parts, axis=0))
+    outs = [bucket_gather_sum(x, idx, w, d)
+            for idx, w in zip(meta.idxs, meta.ws)]
     if not outs:
         return jnp.zeros((meta.n_nodes, d), x.dtype)
     vr = jnp.concatenate(outs, axis=0)[meta.order]
     return jax.ops.segment_sum(vr, meta.vnode_sorted,
                                num_segments=meta.n_nodes,
                                indices_are_sorted=True)
+
+
+def bucket_gather_sum(x, idx, w, d):
+    """One bucket's gather+einsum with the production BUCKET_BYTES_BUDGET
+    row-chunking (factored out of ell_spmm so probes time the exact
+    production kernel — ADVICE r3)."""
+    n_b, k = idx.shape
+    bytes_b = n_b * k * d * 4
+    if bytes_b <= BUCKET_BYTES_BUDGET:
+        return _bucket_sum(x, idx, w, d)
+    # static row-chunked accumulation: bound the transient
+    # (rows, K, D) message block
+    rows_per = max(1, BUCKET_BYTES_BUDGET // (k * d * 4))
+    parts = []
+    for lo in range(0, n_b, rows_per):
+        hi = min(lo + rows_per, n_b)
+        parts.append(_bucket_sum(x, idx[lo:hi], w[lo:hi], d))
+    return jnp.concatenate(parts, axis=0)
 
 
 def _bucket_sum(x, idx, w, d):

@@ -60,7 +60,7 @@ def main():
     w = (dinv[src] * dinv[dst]).astype(np.float32)
     order = np.argsort(dst, kind="stable")
     from recbole_gnn_tpu.ops.ell_spmm import (
-        BUCKET_BYTES_BUDGET, build_ell, ell_spmm, _bucket_sum)
+        BUCKET_BYTES_BUDGET, bucket_gather_sum, build_ell, ell_spmm)
     t0 = time.time()
     meta = build_ell(src[order], dst[order], w[order], N)
     print(f"built in {time.time()-t0:.0f}s  E_pad/E="
@@ -81,8 +81,13 @@ def main():
         def step(xc, _):
             acc = 0.0
             for idx, ww in zip(meta.idxs, meta.ws):
-                o = _bucket_sum(xc, idx, ww, D)
-                acc = acc + jnp.sum(o[:1])          # keep live, cheap
+                # production chunked kernel (ADVICE r3: calling the raw
+                # _bucket_sum bypassed BUCKET_BYTES_BUDGET chunking);
+                # FULL reduction keeps every output row live (a sum of
+                # o[:1] lets XLA's slice-of-dot simplification shrink
+                # each bucket to one row)
+                o = bucket_gather_sum(xc, idx, ww, D)
+                acc = acc + jnp.sum(o)
             return norm(xc + 1e-12 * acc), None
         out, _ = jax.lax.scan(step, x, None, length=ITERS)
         return out
@@ -98,7 +103,12 @@ def main():
             o = jax.ops.segment_sum(vc[meta.order], meta.vnode_sorted,
                                     num_segments=meta.n_nodes,
                                     indices_are_sorted=True)
-            return norm(vc + 1e-6 * o[:n_vrows]), None
+            # feed the carry with an explicitly shaped slice+pad (ADVICE
+            # r3: o[:n_vrows] trace-crashes when n_vrows > n_nodes) and
+            # keep the rest live via a full reduction
+            m = min(n_vrows, int(meta.n_nodes))
+            upd = jnp.pad(o[:m], ((0, n_vrows - m), (0, 0)))
+            return norm(vc + 1e-6 * upd + 1e-12 * jnp.sum(o)), None
         out, _ = jax.lax.scan(step, v, None, length=ITERS)
         return out
 

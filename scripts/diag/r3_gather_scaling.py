@@ -59,10 +59,18 @@ def run(name, n_nodes, idx_np, dtype):
     def f(x):
         def step(xc, _):
             g = xc[idx]                       # (E, D) gather
-            # consume: fold the gathered block back into the carry
-            upd = g[:n_nodes] if g.shape[0] >= n_nodes else jnp.pad(
-                g, ((0, n_nodes - g.shape[0]), (0, 0)))
-            xc = xc + 1e-6 * upd.astype(xc.dtype)
+            # consume EVERY gathered row into the carry (ADVICE r3:
+            # a g[:n_nodes] slice folds into the gather and the probe
+            # measures an n_nodes-row gather instead of E rows):
+            # modular slice-accumulate = one extra pass over (E, D)
+            k = g.shape[0] // n_nodes
+            acc = jnp.zeros((n_nodes, g.shape[1]), g.dtype)
+            for i in range(k):
+                acc = acc + g[i * n_nodes:(i + 1) * n_nodes]
+            rem = g.shape[0] - k * n_nodes
+            if rem:
+                acc = acc.at[:rem].add(g[k * n_nodes:])
+            xc = xc + 1e-6 * acc.astype(xc.dtype)
             return xc, None
         out, _ = jax.lax.scan(step, x, None, length=ITERS)
         return out
@@ -83,16 +91,19 @@ def main():
         run("B  sorted idx, N=1.4M, f32", 1_400_000,
             np.sort(rng.integers(0, 1_400_000, E)), jnp.float32)
     if "c" in which:
-        # random within contiguous 64k-row windows, windows in order
+        # random within contiguous 64k-row windows, windows in order;
+        # ceil window count w/ clipped tail so ALL rows are locally
+        # targeted (ADVICE r3: floor left the last ~24k rows random)
         win = 65_536
-        n_win = 1_400_000 // win
+        n_nodes = 1_400_000
+        n_win = -(-n_nodes // win)
         per = E // n_win
-        parts = [rng.integers(w * win, (w + 1) * win, per)
+        parts = [rng.integers(w * win, min((w + 1) * win, n_nodes), per)
                  for w in range(n_win)]
         idx = np.concatenate(parts)
-        idx = np.concatenate([idx, rng.integers(0, 1_400_000,
+        idx = np.concatenate([idx, rng.integers(0, n_nodes,
                                                 E - len(idx))])
-        run("C  64k-window-local idx, N=1.4M, f32", 1_400_000,
+        run("C  64k-window-local idx, N=1.4M, f32", n_nodes,
             idx, jnp.float32)
     if "d" in which:
         run("D  random idx, N=1.4M, bf16", 1_400_000,

@@ -153,3 +153,36 @@ if __name__ == "__main__":
         if v == "old":
             LESSR._eopa = eopa_old
         run(v, model, params, batch)
+
+
+def run_ablation():
+    """Where does the LESSR step go? Time the train step with EOPA or
+    SGAT layers replaced by a cheap linear of the same output width."""
+    from recbole_gnn_tpu.models.init import linear as _lin
+
+    cfg = Config(model="LESSR", dataset="synthetic",
+                 config_dict={"data_path": "/nonexistent",
+                              "embedding_size": 64, "n_layers": 4})
+    rng = np.random.default_rng(0)
+    batch = synth_batch(rng, B)
+    model = LESSR(cfg, DS())
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    real_eopa, real_sgat = LESSR._eopa, LESSR._sgat
+
+    def stub_eopa(self, lp, feat, batch_, nmask, rng_, train):
+        return rng_, _prelu(lp["prelu"], _lin(lp["fc_self"], feat))
+
+    def stub_sgat(self, lp, feat, batch_, nmask, rng_, train):
+        return rng_, _prelu(lp["prelu"], _lin(lp["fc_v"], feat))
+
+    for tag, eopa, sgat in (("no-eopa", stub_eopa, real_sgat),
+                            ("no-sgat", real_eopa, stub_sgat),
+                            ("neither", stub_eopa, stub_sgat)):
+        LESSR._eopa, LESSR._sgat = eopa, sgat
+        run(tag, model, params, batch)
+    LESSR._eopa, LESSR._sgat = real_eopa, real_sgat
+
+
+if __name__ == "__main__" and "ablate" in sys.argv[1:]:
+    run_ablation()
