@@ -83,9 +83,15 @@ def srgnn_cell_dense(p: dict, hidden: jax.Array, a_in: jax.Array,
 
 def gather_seq_hidden(hidden: jax.Array, batch) -> jax.Array:
     """(B, L, D) node states re-scattered to sequence positions via
-    alias_inputs (reference srgnn.py:95)."""
+    alias_inputs (reference srgnn.py:95).
+
+    One-hot batched matmul instead of take_along_axis: the latter's
+    VJP is an XLA scatter into (B, L, D) — slot gathers whose cotangent
+    flows every train step go through matmuls whose VJP is a matmul
+    (same finding as the LESSR EOPA ablation, scripts/diag/r4_lessr_ab)."""
     alias = batch["alias_inputs"]
-    return jnp.take_along_axis(hidden, alias[:, :, None], axis=1)
+    oh = jax.nn.one_hot(alias, hidden.shape[1], dtype=hidden.dtype)
+    return jnp.einsum("bls,bsd->bld", oh, hidden)
 
 
 def last_hidden(seq_hidden: jax.Array, item_seq_len: jax.Array) -> jax.Array:

@@ -127,17 +127,24 @@ class LESSR(SequentialRecommender):
         rng, dropped = self._dropout(rng, feat, train)
         mail, cnt = batch["eop_mail"], batch["eop_mail_cnt"]
         K = mail.shape[2]
+        L = feat.shape[1]
         state0 = jnp.zeros_like(feat)
+        # slot gathers as one-hot batched matmuls: the VJP of a
+        # take_along_axis is an XLA scatter into (B,L,D) — measured to
+        # dominate the train step (23 of 46 ms at diginetica scale,
+        # scripts/diag/r4_lessr_ab.py ablation); a matmul's VJP is a
+        # matmul.  (B,K,L,L) one-hots are built once outside the scan.
+        oh = jax.nn.one_hot(jnp.moveaxis(mail, 2, 1), L,
+                            dtype=dropped.dtype)          # (B, K, L, L)
 
-        def step(state, k):
-            src = mail[:, :, k]
+        # K is static and small (max in-degree, ~2-5 on session data):
+        # unrolled loop — no scan carry/residual machinery in the VJP
+        neigh = state0
+        for k in range(K):
             valid = (k < cnt)
-            msg = jnp.take_along_axis(dropped, src[:, :, None], axis=1)
-            new = gru_step(lp["gru"], state, msg)
-            state = jnp.where(valid[:, :, None], new, state)
-            return state, None
-
-        neigh, _ = jax.lax.scan(step, state0, jnp.arange(K))
+            msg = jnp.einsum("bls,bsd->bld", oh[:, k], dropped)
+            new = gru_step(lp["gru"], neigh, msg)
+            neigh = jnp.where(valid[:, :, None], new, neigh)
         out = linear(lp["fc_self"], feat) + linear(lp["fc_neigh"], neigh)
         return rng, _prelu(lp["prelu"], out)
 

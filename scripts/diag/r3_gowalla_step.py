@@ -31,6 +31,9 @@ from recbole_gnn_tpu.train.optim import make_optimizer
 N_U, N_I, N_INTER = 100_000, 1_300_000, 6_000_000
 D, LAYERS, B = 64, 3, 4096
 ITERS = 8
+if "b65536" in sys.argv[1:]:   # MXU-friendly batch: 16x fewer steps
+    B, ITERS = 65_536, 4
+    print("(b65536: batch 65536, 92 steps/epoch)", flush=True)
 
 rng = np.random.default_rng(0)
 users = rng.integers(1, N_U, N_INTER)
@@ -46,12 +49,25 @@ if "k4" in sys.argv[1:]:
     import recbole_gnn_tpu.ops.ell_spmm as _e
     _e._K_SMALL = 4
     print("(k4: sub-8 bucket enabled for deg<=4 nodes)", flush=True)
+if "k8" in sys.argv[1:]:   # r4: _K_SMALL=4 is the default now; k8 = old
+    import recbole_gnn_tpu.ops.ell_spmm as _e
+    _e._K_SMALL = 0
+    print("(k8: sub-8 bucket disabled)", flush=True)
+with_ell = True
+if "xla" in sys.argv[1:]:  # like-for-like impl A/B on the SAME graph
+    import recbole_gnn_tpu.ops.spmm as _s
+    _s.SPMM_IMPL = "xla"
+    with_ell = False
+    print("(xla: sorted segment-sum path)", flush=True)
 
 t0 = time.time()
-graph = build_graph(src, dst, w, n, with_ell=True)
-print(f"graph+ell built [{time.time()-t0:.0f}s] "
-      f"E_pad/E={graph.ell.e_padded/len(src):.3f} "
-      f"buckets={[int(i.shape[1]) for i in graph.ell.idxs]}", flush=True)
+graph = build_graph(src, dst, w, n, with_ell=with_ell)
+if graph.ell is not None:
+    print(f"graph+ell built [{time.time()-t0:.0f}s] "
+          f"E_pad/E={graph.ell.e_padded/len(src):.3f} "
+          f"buckets={[int(i.shape[1]) for i in graph.ell.idxs]}", flush=True)
+else:
+    print(f"graph built [{time.time()-t0:.0f}s] (no ELL)", flush=True)
 
 key = jax.random.PRNGKey(0)
 k1, k2 = jax.random.split(key)

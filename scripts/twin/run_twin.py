@@ -41,7 +41,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 from twin.torch_models import (  # noqa: E402
-    TwinLightGCN, TwinNGCF, TwinSGL, TwinSimGCL, TwinSRGNN, sym_norm_adj)
+    TwinGCEGNN, TwinLightGCN, TwinNGCF, TwinSGL, TwinSimGCL, TwinSRGNN,
+    sym_norm_adj)
 
 SEED = 2020
 
@@ -113,10 +114,15 @@ def train_twin(model_name, epochs):
     config, splits = _framework_pipeline(model_name, epochs)
     (train_loader, train_ds), _, (test_loader, _) = splits
     lr = float(config["learning_rate"] or 1e-3)
-    is_seq = model_name == "SRGNN"
+    is_seq = model_name in ("SRGNN", "GCEGNN")
 
-    if is_seq:
+    if model_name == "SRGNN":
         model = TwinSRGNN(train_ds.n_items, config)
+    elif model_name == "GCEGNN":
+        model = TwinGCEGNN(
+            train_ds.n_items, config,
+            train_ds.inter[train_ds.item_list_field],
+            train_ds.inter[train_ds.iid_field], train_ds.max_seq_len)
     else:
         users, items = train_ds.user_item_arrays()
         adj = sym_norm_adj(users, items, train_ds.n_users, train_ds.n_items)
@@ -170,7 +176,8 @@ def train_framework(model_name, epochs):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("models", nargs="*",
-                    default=["LightGCN", "NGCF", "SGL", "SimGCL", "SRGNN"])
+                    default=["LightGCN", "NGCF", "SGL", "SimGCL", "SRGNN",
+                             "GCEGNN"])
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--out", default="results/fixture_twin")
     args = ap.parse_args()

@@ -366,3 +366,152 @@ class TwinSRGNN(nn.Module):
     def loss(self, batch):
         logits = self.full_scores(batch)
         return F.cross_entropy(logits, batch["item_id"].long())
+
+
+class TwinGCEGNN(nn.Module):
+    """reference gcegnn.py:77-232 (hop=1 default) — typed-edge local
+    attention (LocalAggregator :28-43), top-sample_num co-occurrence
+    global table (:134-156, dict-built exactly like the reference),
+    session-aware GlobalAggregator (:46-73), reverse-position fusion
+    (:158-172); CE loss.  Consumes this framework's GCEGNNDataset
+    arrays (sessions already reversed; edge attrs 0..3)."""
+
+    def __init__(self, n_items, cfg, train_seqs, train_targets, max_len):
+        super().__init__()
+        self.n_items = n_items
+        d = int(cfg["embedding_size"])
+        self.d = d
+        self.alpha = float(cfg["leakyrelu_alpha"])
+        self.dropout_local = float(cfg["dropout_local"])
+        self.dropout_global = float(cfg["dropout_global"])
+        self.dropout_gcn = float(cfg["dropout_gcn"])
+        self.sample_num = int(cfg["sample_num"])
+        self.hop = int(cfg["hop"])
+        assert self.hop == 1, "twin covers the default hop=1"
+        self.max_len = max_len
+
+        self.item_embedding = nn.Embedding(n_items, d, padding_idx=0)
+        self.pos_embedding = nn.Embedding(max_len, d)
+        self.edge_emb = nn.Embedding(4, d)
+        self.agg_w1 = nn.Parameter(torch.empty(d + 1, d))
+        self.agg_w2 = nn.Parameter(torch.empty(d, 1))
+        self.agg_w3 = nn.Parameter(torch.empty(2 * d, d))
+        self.agg_bias = nn.Parameter(torch.empty(d))
+        self.w_1 = nn.Linear(2 * d, d, bias=False)
+        self.w_2 = nn.Linear(d, 1, bias=False)
+        self.glu1 = nn.Linear(d, d)
+        self.glu2 = nn.Linear(d, d, bias=False)
+        stdv = 1.0 / np.sqrt(d)   # reference reset_parameters :125-128
+        for w in self.parameters():
+            w.data.uniform_(-stdv, stdv)
+
+        adj, wgt = self._global_graph(train_seqs, train_targets)
+        self.register_buffer("global_adj", adj)
+        self.register_buffer("global_weight", wgt)
+
+    def _global_graph(self, seqs, targets):
+        """Dict-based build, verbatim reference semantics (:134-156):
+        counts of (target, first-4-of-history) both directions, top
+        sample_num by count (ties broken by dict insertion order via
+        sorted(reverse=True) on counts only)."""
+        S = self.sample_num
+        graph = [{} for _ in range(self.n_items)]
+
+        def add(a, b):
+            graph[a][b] = graph[a].get(b, 0) + 1
+
+        src4 = seqs[:, :4]
+        for i in range(len(targets)):
+            t = int(targets[i])
+            for s in src4[i]:
+                s = int(s)
+                if s > 0:
+                    add(t, s)
+                    add(s, t)
+        adj = torch.zeros((self.n_items, S), dtype=torch.long)
+        wgt = torch.zeros((self.n_items, S))
+        for i in range(self.n_items):
+            top = sorted(graph[i].items(), reverse=True,
+                         key=lambda kv: kv[1])[:S]
+            for j, (nid, c) in enumerate(top):
+                adj[i, j] = nid
+                wgt[i, j] = c
+        return adj, wgt
+
+    def _local(self, h_nodes, batch):
+        """Typed-edge softmax attention, add-aggregated per dst."""
+        x = batch["x"]
+        B, L = x.shape
+        flat = h_nodes.reshape(B * L, self.d)
+        E = batch["edge_src"].shape[1]   # typed edges: wider than L
+        ev = torch.arange(E).unsqueeze(0) < batch["n_edges"].unsqueeze(1)
+        off = (torch.arange(B) * L).unsqueeze(1)
+        src = (batch["edge_src"].long() + off)[ev]
+        dst = (batch["edge_dst"].long() + off)[ev]
+        attr = batch["edge_attr"].long()[ev]
+        xj, xi = flat[src], flat[dst]
+        e = ((xj * xi) * self.edge_emb(attr)).sum(-1)
+        e = F.leaky_relu(e, negative_slope=self.alpha)
+        # per-dst softmax (PyG softmax(index=dst))
+        mx = torch.full((B * L,), -1e30)
+        mx.scatter_reduce_(0, dst, e, reduce="amax")
+        ex = torch.exp(e - mx[dst])
+        den = torch.zeros(B * L).index_add_(0, dst, ex)
+        alp = ex / den.clamp(min=1e-16)[dst]
+        out = torch.zeros_like(flat)
+        out.index_add_(0, dst, alp.unsqueeze(-1) * xj)
+        return out.reshape(B, L, self.d)
+
+    def forward_batch(self, batch):
+        x = batch["x"]
+        B, L = x.shape
+        alias = batch["alias_inputs"].long()
+        lens = batch["item_seq_len"].long()
+        mask = (torch.arange(L).unsqueeze(0) < lens.unsqueeze(1)
+                ).float().unsqueeze(-1)
+        h = self.item_embedding(x)
+        h_local = self._local(h, batch)
+
+        seq_items = x.gather(1, alias)                       # (B, L)
+        S = self.sample_num
+        nbr = self.global_adj[seq_items.reshape(-1)].view(B, L * S)
+        wgt = self.global_weight[seq_items.reshape(-1)].view(B, L, S)
+        self_vec = self.item_embedding(seq_items)            # (B, L, D)
+        nbr_vec = self.item_embedding(nbr).view(B, L, S, self.d)
+        item_emb = self_vec * mask
+        sess = item_emb.sum(1) / mask.sum(1)                 # (B, D)
+        sess = sess.unsqueeze(1).expand(-1, L, -1)           # (B, L, D)
+
+        a_in = torch.cat([sess.unsqueeze(2).expand(-1, -1, S, -1) * nbr_vec,
+                          wgt.unsqueeze(-1)], -1)
+        a = F.leaky_relu(a_in @ self.agg_w1, negative_slope=0.2)
+        a = (a @ self.agg_w2).squeeze(-1)                    # (B, L, S)
+        a = torch.softmax(a, -1).unsqueeze(-1)
+        nbr_agg = (a * nbr_vec).sum(-2)                      # (B, L, D)
+        out = torch.cat([self_vec, nbr_agg], -1)
+        out = F.dropout(out, self.dropout_gcn, training=self.training)
+        h_global = torch.relu(out @ self.agg_w3)             # (B, L, D)
+
+        h_local = F.dropout(h_local, self.dropout_local,
+                            training=self.training)
+        h_global = F.dropout(h_global, self.dropout_global,
+                             training=self.training)
+        h_local_seq = h_local.gather(
+            1, alias.unsqueeze(-1).expand(-1, -1, self.d))
+        hidden = h_local_seq + h_global
+
+        # fusion (:158-172)
+        pos = self.pos_embedding.weight[:L].unsqueeze(0).expand(B, -1, -1)
+        hs = (hidden * mask).sum(-2) / mask.sum(1)
+        hs = hs.unsqueeze(-2).expand(-1, L, -1)
+        nh = torch.tanh(self.w_1(torch.cat([pos, hidden], -1)))
+        nh = torch.sigmoid(self.glu1(nh) + self.glu2(hs))
+        beta = self.w_2(nh) * mask
+        return (beta * hidden).sum(1)
+
+    def full_scores(self, batch):
+        return self.forward_batch(batch) @ self.item_embedding.weight.T
+
+    def loss(self, batch):
+        return F.cross_entropy(self.full_scores(batch),
+                               batch["item_id"].long())
