@@ -42,7 +42,7 @@ jax.config.update("jax_platforms", "cpu")
 
 from twin.torch_models import (  # noqa: E402
     TwinGCEGNN, TwinLightGCN, TwinNGCF, TwinSGL, TwinSimGCL, TwinSRGNN,
-    sym_norm_adj)
+    TwinSSL4Rec, sym_norm_adj)
 
 SEED = 2020
 
@@ -118,6 +118,8 @@ def train_twin(model_name, epochs):
 
     if model_name == "SRGNN":
         model = TwinSRGNN(train_ds.n_items, config)
+    elif model_name == "SSL4REC":
+        model = TwinSSL4Rec(train_ds.n_users, train_ds.n_items, config)
     elif model_name == "GCEGNN":
         model = TwinGCEGNN(
             train_ds.n_items, config,

@@ -515,3 +515,52 @@ class TwinGCEGNN(nn.Module):
     def loss(self, batch):
         return F.cross_entropy(self.full_scores(batch),
                                batch["item_id"].long())
+
+
+class TwinSSL4Rec(nn.Module):
+    """reference ssl4rec.py:25-163 — DNN two-tower (emb→1024 ReLU→128
+    tanh) over ID embeddings, in-batch sampled-softmax rec loss
+    (:50-57), item-dropout CL through the item tower (:146-163),
+    EmbLoss over the TOWER OUTPUTS, xavier-uniform init."""
+
+    def __init__(self, n_users, n_items, cfg):
+        super().__init__()
+        emb = int(cfg["embedding_size"])
+        self.tau = float(cfg["tau"])
+        self.reg_weight = float(cfg["reg_weight"])
+        self.cl_rate = float(cfg["ssl_weight"])
+        self.require_pow = bool(cfg["require_pow"])
+        self.user_emb = nn.Embedding(n_users, emb)
+        self.item_emb = nn.Embedding(n_items, emb)
+        self.user_tower = nn.Sequential(
+            nn.Linear(emb, 1024), nn.ReLU(True),
+            nn.Linear(1024, 128), nn.Tanh())
+        self.item_tower = nn.Sequential(
+            nn.Linear(emb, 1024), nn.ReLU(True),
+            nn.Linear(1024, 128), nn.Tanh())
+        self.dropout = nn.Dropout(float(cfg["drop_ratio"]))
+        xavier_uniform_all(self)
+
+    def _nce(self, x1, x2, eps=0.0):
+        """exp-ratio InfoNCE exactly as written in the reference
+        (ssl4rec.py:50-57 adds 10e-6 inside the log; :157-163 does not)."""
+        x1, x2 = F.normalize(x1, dim=-1), F.normalize(x2, dim=-1)
+        pos = torch.exp((x1 * x2).sum(-1) / self.tau)
+        ttl = torch.exp(x1 @ x2.T / self.tau).sum(1)
+        return -torch.log(pos / ttl + eps).mean()
+
+    def propagate(self):
+        return (self.user_tower(self.user_emb.weight),
+                self.item_tower(self.item_emb.weight))
+
+    def loss(self, batch):
+        u, p = batch["user_id"].long(), batch["item_id"].long()
+        ue = self.user_tower(self.user_emb(u))
+        ie = self.item_tower(self.item_emb(p))
+        rec = self._nce(ue, ie, eps=10e-6)
+        base = self.item_emb(p)
+        v1 = self.item_tower(self.dropout(base))
+        v2 = self.item_tower(self.dropout(base))
+        cl = self._nce(v1, v2)
+        reg = emb_loss([ue, ie], len(u), require_pow=self.require_pow)
+        return rec + self.cl_rate * cl + self.reg_weight * reg
