@@ -61,6 +61,15 @@ def run():
         verbose=True)
     print("total wall:", time.time() - t0)
     print(res["test_result"])
+    try:
+        import jax
+        ms = jax.local_devices()[0].memory_stats() or {}
+        peak = ms.get("peak_bytes_in_use")
+        if peak:
+            print(f"peak HBM: {peak / 2**30:.2f} GiB "
+                  f"(limit {ms.get('bytes_limit', 0) / 2**30:.2f} GiB)")
+    except Exception as e:  # axon may not expose memory_stats
+        print("memory_stats unavailable:", e)
 
 
 if __name__ == "__main__":

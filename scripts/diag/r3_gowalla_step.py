@@ -160,6 +160,40 @@ def full_step():
           f"({n_steps} steps) ≈ {per*n_steps:.0f} s", flush=True)
 
 
+def mem_analysis():
+    """Static HBM budget of the compiled train-step program
+    (r4: `memory_stats()` is None over the axon tunnel, so peak HBM
+    is reported from XLA's buffer assignment instead: arguments +
+    outputs + transient temp)."""
+    @jax.jit
+    def run(params, opt_state, g, batches):
+        def step(carry, batch):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, g, batch)
+            params, opt_state = optimizer.update(grads, opt_state, params)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), batches)
+        return params, opt_state, losses[-1]
+
+    batches = make_batches(ITERS)
+    t0 = time.time()
+    ma = run.lower(params, opt_state, graph, batches).compile() \
+        .memory_analysis()
+    gib = 2.0 ** 30
+    print(f"  [mem] compiled in {time.time()-t0:.0f}s", flush=True)
+    print(f"train-step HBM (XLA buffer assignment): "
+          f"args {ma.argument_size_in_bytes/gib:.2f} GiB + "
+          f"out {ma.output_size_in_bytes/gib:.2f} GiB "
+          f"(aliased {ma.alias_size_in_bytes/gib:.2f}) + "
+          f"temp {ma.temp_size_in_bytes/gib:.2f} GiB  →  peak ≈ "
+          f"{(ma.argument_size_in_bytes + ma.output_size_in_bytes - ma.alias_size_in_bytes + ma.temp_size_in_bytes)/gib:.2f} GiB",
+          flush=True)
+
+
 if __name__ == "__main__":
-    fwd_only()
-    full_step()
+    if "mem" in sys.argv[1:]:
+        mem_analysis()
+    else:
+        fwd_only()
+        full_step()
