@@ -241,15 +241,25 @@ def sparse_main():
         dt = wtime if dt is None else min(dt, wtime)
     per = dt / SP_ITERS
     edges_per_s = SP_N_EDGES / per   # one chained spmm == one layer
+    # hardware gather floor (PARITY.md round-4 floor proof): any sparse
+    # impl must gather E_pad source rows at the measured-irreducible
+    # ~4.5 ns/row (per-row Pallas DMA: 43 ns/row; promise_in_bounds /
+    # unfusing / bf16: no change) — vs_gather_floor is the fraction of
+    # that hardware ceiling this layer achieves (1.0 = speed of light)
+    e_pad = (graph.ell.e_padded if graph.ell is not None else SP_N_EDGES)
+    floor_ns = 4.5 * e_pad / SP_N_EDGES
+    ns_edge = per / SP_N_EDGES * 1e9
     print(json.dumps({
         "metric": "sparse_streaming_spmm_edge_features_per_s_per_chip",
         "value": round(edges_per_s, 1),
         "unit": f"edge-feat/s (fwd, {SP_N_EDGES} edges x dim {SP_DIM}, "
                 f"500k nodes, forced sparse)",
         "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 4),
+        "ns_per_edge": round(ns_edge, 2),
+        "gather_floor_ns_per_edge": round(floor_ns, 2),
+        "vs_gather_floor": round(floor_ns / ns_edge, 4),
     }), flush=True)
-    return per, (graph.ell.e_padded if graph.ell is not None
-                 else SP_N_EDGES)
+    return per, e_pad
 
 
 if __name__ == "__main__":

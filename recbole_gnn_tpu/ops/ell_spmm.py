@@ -56,14 +56,18 @@ K_CAP = 256
 # pow2 grid ran 86 ms despite 25% MORE padded edges)
 MAX_BUCKETS = 12
 
-# single sub-8 bucket width allowed for the lowest-degree group.
-# Default 4 (r4, hardware-measured): at gowalla shape (1.4M nodes,
-# avg deg 8.6) the deg≤4 mass otherwise pads 2-8× — with K=4 the
-# layout E_pad/E drops 1.427 → 1.210 and the measured fwd SpMM goes
-# 17.21 → 11.33 ns/edge (scripts/diag/r3_gowalla_step.py k4 A/B);
-# at the high-avg-degree bench shape the grid is unchanged within
-# 0.1% padded edges.  0/None disables (see _bucket_grid.kof).
-_K_SMALL = 4
+# sub-8 bucket width(s) allowed for the lowest-degree groups: an int
+# (one width) or an ascending tuple (a ladder the DP may use).
+# Hardware-measured ladder progression at gowalla shape (1.4M nodes,
+# avg deg 8.6; scripts/diag/r3_gowalla_step.py k8/k4/k124 A/B):
+#   no sub-8 (k8):   E_pad/E 1.427, fwd SpMM 17.21 ns/edge
+#   K=4 only:        E_pad/E 1.210, 11.33 ns/edge
+#   (1,2,4) ladder:  E_pad/E 1.173, 10.90 ns/edge, step 810→780 ms
+# At the high-avg-degree bench shape (500k nodes, avg deg 20) the DP
+# never picks the sub-4 widths — grid and time identical (71 ms) —
+# so the ladder is identical-or-better everywhere and is the default.
+# 0/None disables (see _bucket_grid.kof).
+_K_SMALL = (1, 2, 4)
 
 # per-bucket gathered-message budget: buckets whose (rows·K·D·4) stream
 # would exceed this are processed in static row chunks so the transient
@@ -135,8 +139,12 @@ def _bucket_grid(per_vrow: np.ndarray, k_cap: int,
         # width is additionally allowed for the lowest-degree group
         # (low-avg-degree graphs otherwise pad deg-1..4 nodes 2-8×).
         v = int(vals[j])
-        if _K_SMALL and v <= _K_SMALL:
-            return _K_SMALL
+        if _K_SMALL:
+            ladder = ((_K_SMALL,) if isinstance(_K_SMALL, int)
+                      else tuple(_K_SMALL))
+            for s in sorted(ladder):
+                if v <= s:
+                    return s
         return -(-v // 8) * 8
 
     def gcost(i, j):   # values i..j inclusive into one bucket

@@ -53,6 +53,10 @@ if "k8" in sys.argv[1:]:   # r4: _K_SMALL=4 is the default now; k8 = old
     import recbole_gnn_tpu.ops.ell_spmm as _e
     _e._K_SMALL = 0
     print("(k8: sub-8 bucket disabled)", flush=True)
+if "k124" in sys.argv[1:]:  # r4: sub-8 ladder — more buckets, less pad
+    import recbole_gnn_tpu.ops.ell_spmm as _e
+    _e._K_SMALL = (1, 2, 4)
+    print("(k124: sub-8 bucket ladder 1/2/4)", flush=True)
 with_ell = True
 if "xla" in sys.argv[1:]:  # like-for-like impl A/B on the SAME graph
     import recbole_gnn_tpu.ops.spmm as _s
