@@ -243,11 +243,13 @@ def sparse_main():
     edges_per_s = SP_N_EDGES / per   # one chained spmm == one layer
     # hardware gather floor (PARITY.md round-4 floor proof): any sparse
     # impl must gather E_pad source rows at the measured-irreducible
-    # ~4.5 ns/row (per-row Pallas DMA: 43 ns/row; promise_in_bounds /
-    # unfusing / bf16: no change) — vs_gather_floor is the fraction of
-    # that hardware ceiling this layer achieves (1.0 = speed of light)
+    # ~5.1 ns/row at this table size (ADVICE-corrected full-consume
+    # probe, r3_gather_scaling.py; per-row Pallas DMA: 43 ns/row;
+    # promise_in_bounds / unfusing / bf16: no change or worse) —
+    # vs_gather_floor is the fraction of that hardware ceiling this
+    # layer achieves (1.0 = speed of light)
     e_pad = (graph.ell.e_padded if graph.ell is not None else SP_N_EDGES)
-    floor_ns = 4.5 * e_pad / SP_N_EDGES
+    floor_ns = 5.1 * e_pad / SP_N_EDGES
     ns_edge = per / SP_N_EDGES * 1e9
     print(json.dumps({
         "metric": "sparse_streaming_spmm_edge_features_per_s_per_chip",
