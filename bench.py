@@ -107,28 +107,33 @@ def main():
     params, opt_state, loss = run_window(params, opt_state, graph, warm)
     float(loss)  # hard sync: block_until_ready is advisory over the tunnel
 
-    def time_window(batches):
-        best = None
-        for _rep in range(3):   # best of 3 — transport noise
+    def time_window(batches, reduce=min, reps=3):
+        ts = []
+        for _rep in range(reps):
             t0 = time.perf_counter()
             p2, o2, loss = run_window(params, opt_state, graph, batches)
             float(loss)
-            w = time.perf_counter() - t0
-            best = w if best is None else min(best, w)
-        return best
+            ts.append(time.perf_counter() - t0)
+        return reduce(ts)
 
     batches = jax.device_put(make_batches(N_STEPS))
-    dt = time_window(batches)
+    dt = time_window(batches)   # best of 3 — transport noise
 
     # drift-robust companion (VERDICT r3 #7): the wall clock includes
     # the axon tunnel's per-dispatch transport latency, which drifts
     # ±25% day-to-day and once masqueraded as a code regression
     # (BENCH_r02).  Differencing two window sizes cancels every fixed
-    # per-dispatch cost: device_ms ≈ (T(2N) − T(N)) / N.
+    # per-dispatch cost: device_ms ≈ (T(2N) − T(N)) / N.  MEDIANS of 5,
+    # not minima: min(T(N)) − min(T(2N)) differences two independent
+    # extremes and once produced an impossible >1 MFU; the median pair
+    # differences the typical dispatch instead.
+    def median(ts):
+        return sorted(ts)[len(ts) // 2]
     batches2 = jax.device_put(make_batches(2 * N_STEPS))
     _ = run_window(params, opt_state, graph, batches2)  # compile 2N prog
-    dt2 = time_window(batches2)
-    dev_step_s = max((dt2 - dt) / N_STEPS, 1e-9)
+    dt_med = time_window(batches, reduce=median, reps=5)
+    dt2_med = time_window(batches2, reduce=median, reps=5)
+    dev_step_s = max((dt2_med - dt_med) / N_STEPS, 1e-9)
 
     steps_per_s = N_STEPS / dt
     edges_per_step = N_LAYERS * graph.n_edges
@@ -149,8 +154,13 @@ def main():
 
 
 # v5e per-chip hardware ceilings for the roofline line (public specs:
-# ~197 TFLOP/s bf16 / ~98 TFLOP/s f32-on-MXU, ~819 GB/s HBM)
+# ~197 TFLOP/s bf16 / ~98 TFLOP/s f32-on-MXU, ~819 GB/s HBM).
+# NOTE: the default JAX matmul precision on TPU is bf16-class (see
+# CLAUDE.md), so the dense step's matmuls ride the bf16 MXU rate —
+# `mfu` (vs f32 peak) can legitimately exceed 1.0; `mfu_bf16_peak`
+# is the honest utilization figure for the default-precision path.
 V5E_PEAK_FLOPS_F32 = 98e12
+V5E_PEAK_FLOPS_BF16 = 197e12
 V5E_HBM_GBS = 819e9
 
 
@@ -172,6 +182,7 @@ def _dense_roofline(step_seconds: float) -> dict:
         "flops_per_s": flops / step_seconds,
         "hbm_gbs_min": bytes_ / step_seconds / 1e9,
         "mfu": flops / step_seconds / V5E_PEAK_FLOPS_F32,
+        "mfu_bf16_peak": flops / step_seconds / V5E_PEAK_FLOPS_BF16,
         "hbm_util_min": bytes_ / step_seconds / V5E_HBM_GBS,
     }
 

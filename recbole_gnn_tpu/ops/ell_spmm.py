@@ -26,9 +26,15 @@ HBM bandwidth (~0.5 ns/edge), leaving only the irreducible gather:
               to the bucket K with weight-0 edges on source row 0
   device      per bucket:  out_b = Σ_k  w[:, k] · x[idx[:, k]]
               — an (n_b·K) row gather + streaming multiply-sum
-  combine     virtual-row results are re-ordered by a HOST-precomputed
-              sort permutation and segment-summed into node order
-              (n_vrows ≈ n_nodes rows — cheap)
+  combine     ONE output gather from the pooled bucket outputs via a
+              HOST-precomputed per-node source row (node_src): nodes
+              with deg ≤ K_CAP read their single bucket row directly,
+              deg > K_CAP nodes (rare) a tiny segment-sum, isolated
+              nodes a zero row.  (r4: the previous gather +
+              n_vrows-row segment-sum combine cost 2.31 ns/EDGE —
+              27.8 of 133 ms at gowalla shape, r3_ell_breakdown.py
+              case H — because segment-sum pays a per-ROW issue cost;
+              the single gather pays it once per NODE.)
 
 Measured (same probe protocol): 8.8 ns/edge with pow2 buckets
 (E_pad/E = 1.34); the mult-8 DP grid reaches 7.1 ns/edge.
@@ -83,18 +89,31 @@ class EllMeta:
     Attributes:
       idxs: tuple of (n_b, K_b) int32 — source node per slot (0-padded).
       ws: tuple of (n_b, K_b) float32 — edge weight per slot (0-padded).
-      order: (n_vrows,) int32 — host-precomputed stable argsort of the
-        concatenated per-bucket virtual-row node ids.
-      vnode_sorted: (n_vrows,) int32 — node id per virtual row, sorted
-        (the segment ids of the combine segsum).
+      node_src: (n_nodes,) int32 — pool row per output node, where the
+        pool is [concat of per-bucket outputs (n_vrows rows); summed
+        multi-vrow nodes (n_multi rows); one zero row].  Single-vrow
+        nodes (every node with degree ≤ K_CAP — the overwhelming
+        majority) point straight at their bucket output row, isolated
+        nodes at the zero row, so the combine is ONE output gather
+        instead of a gather + n_vrows-row segment-sum (r4: the segsum's
+        per-row issue cost was 2.3 ns/EDGE of the SpMM —
+        scripts/diag/r3_ell_breakdown.py case H).
+      mgidx: (n_multi_vrows,) int32 | None — concat positions of the
+        virtual rows of multi-vrow nodes, grouped by node.
+      msegs: (n_multi_vrows,) int32 — 0..n_multi−1 segment ids for the
+        (tiny) multi-node segment-sum.
       n_nodes: static int — output rows.
+      n_multi: static int — number of nodes split into >1 virtual row
+        (degree > K_CAP only).
     """
 
     idxs: tuple
     ws: tuple
-    order: jax.Array
-    vnode_sorted: jax.Array
+    node_src: jax.Array
+    mgidx: jax.Array | None
+    msegs: jax.Array | None
     n_nodes: int
+    n_multi: int
     # optional per-slot EDGE ids (into the graph's dst-sorted edge
     # array; pad slots point one past the end) — lets ell_reweight
     # regather dynamic weights into the layout (epoch-level
@@ -102,14 +121,14 @@ class EllMeta:
     eposs: tuple | None = None
 
     def tree_flatten(self):
-        return ((self.idxs, self.ws, self.order, self.vnode_sorted,
-                 self.eposs),
-                (self.n_nodes,))
+        return ((self.idxs, self.ws, self.node_src, self.mgidx,
+                 self.msegs, self.eposs),
+                (self.n_nodes, self.n_multi))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], children[1], children[2], children[3],
-                   aux[0], children[4])
+                   children[4], aux[0], aux[1], children[5])
 
     @property
     def e_padded(self) -> int:
@@ -241,12 +260,35 @@ def build_ell(src_sorted: np.ndarray, dst_sorted: np.ndarray,
         vnode_all = np.concatenate(vnodes)
     else:   # empty graph
         vnode_all = np.zeros((0,), np.int32)
-    order = np.argsort(vnode_all, kind="stable").astype(np.int32)
+    # combine plan: single-vrow nodes (deg ≤ K_CAP) read their bucket
+    # output row directly; multi-vrow nodes (deg > K_CAP — rare) get a
+    # tiny segment-sum; isolated nodes read the appended zero row
+    order = np.argsort(vnode_all, kind="stable")
+    n_vr_total = len(vnode_all)
+    counts = n_vrows                      # per-node vrow count (0 = isolated)
+    starts = np.cumsum(counts) - counts   # node's first vrow in sorted order
+    single = counts == 1
+    multi = counts > 1
+    n_multi = int(multi.sum())
+    node_src = np.full(n_nodes, n_vr_total + n_multi, np.int64)  # zero row
+    node_src[single] = order[starts[single]]
+    node_src[multi] = n_vr_total + np.arange(n_multi)
+    if n_multi:
+        mcounts = counts[multi]
+        total_m = int(mcounts.sum())
+        off = np.arange(total_m) - np.repeat(
+            np.cumsum(mcounts) - mcounts, mcounts)
+        mpos_sorted = np.repeat(starts[multi], mcounts) + off
+        mgidx = jnp.asarray(order[mpos_sorted].astype(np.int32))
+        msegs = jnp.asarray(
+            np.repeat(np.arange(n_multi), mcounts).astype(np.int32))
+    else:
+        mgidx = msegs = None
     return EllMeta(tuple(jnp.asarray(a) for a in idxs),
                    tuple(jnp.asarray(a) for a in ws),
-                   jnp.asarray(order),
-                   jnp.asarray(vnode_all[order]),
-                   int(n_nodes),
+                   jnp.asarray(node_src.astype(np.int32)),
+                   mgidx, msegs,
+                   int(n_nodes), n_multi,
                    tuple(jnp.asarray(a) for a in eposs)
                    if with_epos else None)
 
@@ -262,8 +304,8 @@ def reweight_ws(meta: EllMeta, weight: jax.Array) -> tuple:
 
 def with_ws(meta: EllMeta, ws: tuple) -> EllMeta:
     """EllMeta with replaced slot weights (shapes must match)."""
-    return EllMeta(meta.idxs, ws, meta.order, meta.vnode_sorted,
-                   meta.n_nodes, meta.eposs)
+    return EllMeta(meta.idxs, ws, meta.node_src, meta.mgidx, meta.msegs,
+                   meta.n_nodes, meta.n_multi, meta.eposs)
 
 
 def ell_reweight(meta: EllMeta, weight: jax.Array) -> EllMeta:
@@ -284,10 +326,15 @@ def ell_spmm(meta: EllMeta, x: jax.Array) -> jax.Array:
             for idx, w in zip(meta.idxs, meta.ws)]
     if not outs:
         return jnp.zeros((meta.n_nodes, d), x.dtype)
-    vr = jnp.concatenate(outs, axis=0)[meta.order]
-    return jax.ops.segment_sum(vr, meta.vnode_sorted,
-                               num_segments=meta.n_nodes,
-                               indices_are_sorted=True)
+    pool = outs
+    if meta.n_multi:
+        vr = jnp.concatenate(outs, axis=0)
+        msums = jax.ops.segment_sum(vr[meta.mgidx], meta.msegs,
+                                    num_segments=meta.n_multi,
+                                    indices_are_sorted=True)
+        pool = [vr, msums]
+    pool = pool + [jnp.zeros((1, d), x.dtype)]
+    return jnp.concatenate(pool, axis=0)[meta.node_src]
 
 
 def bucket_gather_sum(x, idx, w, d):

@@ -94,15 +94,21 @@ def main():
 
     timed("G gathers+einsum only", g_only, x0, E)
 
-    n_vrows = int(meta.order.shape[0])
+    n_vrows = sum(int(i.shape[0]) for i in meta.idxs)
     vr0 = jnp.asarray(rng.normal(size=(n_vrows, D)).astype(np.float32))
 
     @jax.jit
     def h_only(v):
         def step(vc, _):
-            o = jax.ops.segment_sum(vc[meta.order], meta.vnode_sorted,
-                                    num_segments=meta.n_nodes,
-                                    indices_are_sorted=True)
+            # r4 combine: pool = [vr; multi sums; zero row], one gather
+            pool = [vc]
+            if meta.n_multi:
+                msums = jax.ops.segment_sum(vc[meta.mgidx], meta.msegs,
+                                            num_segments=meta.n_multi,
+                                            indices_are_sorted=True)
+                pool.append(msums)
+            pool.append(jnp.zeros((1, D), vc.dtype))
+            o = jnp.concatenate(pool, axis=0)[meta.node_src]
             # feed the carry with an explicitly shaped slice+pad (ADVICE
             # r3: o[:n_vrows] trace-crashes when n_vrows > n_nodes) and
             # keep the rest live via a full reduction
@@ -112,7 +118,7 @@ def main():
         out, _ = jax.lax.scan(step, v, None, length=ITERS)
         return out
 
-    timed("H combine only (order-gather+segsum)", h_only, vr0, E)
+    timed("H combine only (pool-gather)", h_only, vr0, E)
 
     @jax.jit
     def full(x):
