@@ -435,7 +435,7 @@ class GeneralGraphDataset(Dataset):
             from recbole_gnn_tpu.parallel.sharded_spmm import (
                 build_sharded_ell)
             axis = str(self.config["graph_edge_sharding_axis"] or "dp")
-            mesh = make_mesh(dict(self.config["mesh_shape"]))
+            mesh = make_mesh(self.config["mesh_shape"])
             return build_sharded_ell(src, dst, w, n,
                                      mesh.shape[axis], mesh=mesh,
                                      axis=axis)

@@ -17,10 +17,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(mesh_shape: dict | None = None,
+def make_mesh(mesh_shape: dict | list | None = None,
               devices: list | None = None) -> Mesh:
-    """mesh_shape e.g. {'dp': 4, 'tp': 2}; None → all devices on 'dp'."""
+    """mesh_shape e.g. {'dp': 4, 'tp': 2}; None → all devices on 'dp'.
+    A bare size list (CLI shorthand ``--mesh_shape=[4,2]``) gets the
+    default axis names dp, tp, pp, sp in order."""
     devices = devices if devices is not None else jax.devices()
+    if isinstance(mesh_shape, (list, tuple)):
+        names = ("dp", "tp", "pp", "sp")
+        if len(mesh_shape) > len(names):
+            raise ValueError(f"mesh_shape list longer than {len(names)} "
+                             "axes — use the dict form to name axes")
+        mesh_shape = {n: int(s) for n, s in zip(names, mesh_shape)}
     if not mesh_shape:
         mesh_shape = {"dp": len(devices)}
     axes = list(mesh_shape.keys())

@@ -44,21 +44,32 @@ from recbole_gnn_tpu.ops.ell_spmm import K_CAP, _bucket_grid
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class _StackedEll:
-    """One direction's stacked per-shard ELL (leading axis = shard)."""
+    """One direction's stacked per-shard ELL (leading axis = shard).
+
+    Combine uses the r4 pool-gather form (see ops/ell_spmm.py): the
+    per-shard output is ONE gather from [concat of padded bucket
+    outputs (n_vrows rows); summed multi-vrow nodes (n_multi); one
+    zero row] — per-bucket pad rows and isolated nodes are simply
+    never referenced, and the n_vrows-row segment-sum the r3 combine
+    paid per shard is gone (its per-row issue cost measured
+    2.31 ns/edge single-chip, scripts/diag/r3_ell_breakdown.py)."""
 
     idxs: tuple              # per bucket: (n_shards, rows_b, K_b) int32
     ws: tuple                # per bucket: (n_shards, rows_b, K_b) f32
-    order: jax.Array         # (n_shards, n_vrows) int32
-    vnode_sorted: jax.Array  # (n_shards, n_vrows) int32 (local out ids)
+    node_src: jax.Array      # (n_shards, n_out) int32 pool row per node
+    mgidx: jax.Array | None  # (n_shards, m_max) int32 multi-vrow rows
+    msegs: jax.Array | None  # (n_shards, m_max) int32 multi segment ids
     n_out: int               # output rows per shard
+    n_multi: int             # max multi-vrow nodes across shards
 
     def tree_flatten(self):
-        return ((self.idxs, self.ws, self.order, self.vnode_sorted),
-                (self.n_out,))
+        return ((self.idxs, self.ws, self.node_src, self.mgidx,
+                 self.msegs),
+                (self.n_out, self.n_multi))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0])
+        return cls(*children, *aux)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -161,22 +172,56 @@ def _stacked_direction(edge_shards, n_out):
         ws.append(jnp.asarray(w_st))
 
     vlen = sum(rmaxes.values())
-    orders = np.zeros((n_shards, vlen), np.int32)
-    vsorted = np.zeros((n_shards, vlen), np.int32)
-    for s, sh in enumerate(per_shard):
+    # pool-gather combine plan per shard (see _StackedEll docstring):
+    # pad vrows are marked with a sentinel and never referenced
+    per_plan = []
+    for sh in per_shard:
         parts = []
         for K in ks:
             vn = sh[K][2]
-            # pad vrows map to the last out row with all-zero slots
             parts.append(np.concatenate(
-                [vn, np.full(rmaxes[K] - vn.shape[0], n_out - 1,
-                             np.int32)]))
-        vn_all = np.concatenate(parts)
-        o = np.argsort(vn_all, kind="stable").astype(np.int32)
-        orders[s] = o
-        vsorted[s] = vn_all[o]
-    return _StackedEll(tuple(idxs), tuple(ws), jnp.asarray(orders),
-                       jnp.asarray(vsorted), int(n_out))
+                [vn, np.full(rmaxes[K] - vn.shape[0], n_out, np.int32)]))
+        vn_all = np.concatenate(parts)          # sentinel n_out = pad
+        order = np.argsort(vn_all, kind="stable")
+        counts = np.bincount(vn_all, minlength=n_out + 1)[:n_out]
+        starts = np.cumsum(counts) - counts
+        single = counts == 1
+        multi = counts > 1
+        n_multi = int(multi.sum())
+        node_src = np.full(n_out, -1, np.int64)  # filled after m_max known
+        node_src[single] = order[starts[single]]
+        mcounts = counts[multi]
+        total_m = int(mcounts.sum())
+        off = np.arange(total_m) - np.repeat(
+            np.cumsum(mcounts) - mcounts, mcounts)
+        mpos = np.repeat(starts[multi], mcounts) + off
+        per_plan.append((node_src, multi, n_multi,
+                         order[mpos], np.repeat(np.arange(n_multi),
+                                                mcounts)))
+
+    n_multi_max = max((p[2] for p in per_plan), default=0)
+    m_max = 0
+    for p in per_plan:
+        m_max = max(m_max, len(p[3]))
+    node_srcs = np.zeros((n_shards, n_out), np.int32)
+    mgidxs = np.zeros((n_shards, m_max), np.int32)
+    msegss = np.zeros((n_shards, m_max), np.int32)
+    zero_row = vlen + n_multi_max              # pool layout: vr|msums|zero
+    for s, (node_src, multi, n_multi, mg, msg) in enumerate(per_plan):
+        node_src[node_src < 0] = zero_row      # isolated nodes
+        node_src[multi] = vlen + np.arange(n_multi)
+        node_srcs[s] = node_src
+        # pad the multi lists with (vr row 0, dummy segment): the dummy
+        # segment lands at index n_multi_max and is sliced off
+        mgidxs[s] = np.concatenate(
+            [mg, np.zeros(m_max - len(mg), np.int64)])
+        msegss[s] = np.concatenate(
+            [msg, np.full(m_max - len(msg), n_multi_max, np.int64)])
+    return _StackedEll(
+        tuple(idxs), tuple(ws), jnp.asarray(node_srcs),
+        jnp.asarray(mgidxs) if n_multi_max else None,
+        jnp.asarray(msegss) if n_multi_max else None,
+        int(n_out), int(n_multi_max))
 
 
 def build_sharded_ell(src, dst, w, n_nodes, n_shards,
@@ -218,6 +263,18 @@ def _ell_apply(idxs, ws, x, d):
     return jnp.concatenate(outs, axis=0)
 
 
+def _combine(stacked: _StackedEll, vr, node_src, mgidx, msegs, d):
+    """Per-shard pool-gather combine (mirrors ops/ell_spmm.py r4)."""
+    pool = [vr]
+    if stacked.n_multi:
+        msums = jax.ops.segment_sum(vr[mgidx[0]], msegs[0],
+                                    num_segments=stacked.n_multi + 1,
+                                    indices_are_sorted=True)
+        pool.append(msums[:stacked.n_multi])   # drop the pad segment
+    pool.append(jnp.zeros((1, d), vr.dtype))
+    return jnp.concatenate(pool, axis=0)[node_src[0]]
+
+
 def sharded_ell_spmm(meta: ShardedEll, x: jax.Array, mesh: Mesh,
                      axis: str = "dp") -> jax.Array:
     """out = A @ x over the edge-sharded layout; differentiable (the
@@ -229,20 +286,23 @@ def sharded_ell_spmm(meta: ShardedEll, x: jax.Array, mesh: Mesh,
     n_fb = len(fwd.idxs)
     n_rb = len(rev.idxs)
 
+    def _mspecs(stacked):
+        # mgidx/msegs are None when no shard has multi-vrow nodes;
+        # None legs still need a spec slot in shard_map
+        return (P(axis), P(axis)) if stacked.n_multi else (None, None)
+
     @jax.custom_vjp
     def _f(x_):
-        def fwd_shard(order, vnode, x_rep, *arrs):
-            vr = _ell_apply(arrs[:n_fb], arrs[n_fb:], x_rep, d)[order[0]]
-            out = jax.ops.segment_sum(vr, vnode[0],
-                                      num_segments=node_block,
-                                      indices_are_sorted=True)
-            return out[None]
+        def fwd_shard(node_src, mgidx, msegs, x_rep, *arrs):
+            vr = _ell_apply(arrs[:n_fb], arrs[n_fb:], x_rep, d)
+            return _combine(fwd, vr, node_src, mgidx, msegs, d)[None]
 
         out = shard_map(
             fwd_shard, mesh=mesh,
-            in_specs=(P(axis), P(axis), P()) + (P(axis),) * (2 * n_fb),
+            in_specs=(P(axis),) + _mspecs(fwd) + (P(),)
+            + (P(axis),) * (2 * n_fb),
             out_specs=P(axis),
-        )(fwd.order, fwd.vnode_sorted, x_, *fwd.idxs, *fwd.ws)
+        )(fwd.node_src, fwd.mgidx, fwd.msegs, x_, *fwd.idxs, *fwd.ws)
         return out.reshape(-1, d)[:meta.n_nodes]
 
     def _vjp_fwd(x_):
@@ -253,18 +313,16 @@ def sharded_ell_spmm(meta: ShardedEll, x: jax.Array, mesh: Mesh,
         gp = jnp.pad(g, ((0, n_pad - meta.n_nodes), (0, 0)))
         gp = gp.reshape(meta.n_shards, node_block, d)
 
-        def bwd_shard(order, vnode, g_blk, *arrs):
-            vr = _ell_apply(arrs[:n_rb], arrs[n_rb:], g_blk[0],
-                            d)[order[0]]
-            gx = jax.ops.segment_sum(vr, vnode[0], num_segments=n_src,
-                                     indices_are_sorted=True)
-            return gx[None]
+        def bwd_shard(node_src, mgidx, msegs, g_blk, *arrs):
+            vr = _ell_apply(arrs[:n_rb], arrs[n_rb:], g_blk[0], d)
+            return _combine(rev, vr, node_src, mgidx, msegs, d)[None]
 
         parts = shard_map(
             bwd_shard, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis)) + (P(axis),) * (2 * n_rb),
+            in_specs=(P(axis),) + _mspecs(rev) + (P(axis),)
+            + (P(axis),) * (2 * n_rb),
             out_specs=P(axis),
-        )(rev.order, rev.vnode_sorted, gp, *rev.idxs, *rev.ws)
+        )(rev.node_src, rev.mgidx, rev.msegs, gp, *rev.idxs, *rev.ws)
         # (n_shards, n_src, d) partials, sharded on axis 0 — GSPMD
         # lowers the sum to the cross-shard all-reduce
         return (jnp.sum(parts, axis=0),)

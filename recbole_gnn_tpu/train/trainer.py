@@ -83,7 +83,7 @@ class Trainer:
         self._mesh = None
         if config["mesh_shape"]:
             from recbole_gnn_tpu.parallel.mesh import make_mesh
-            self._mesh = make_mesh(dict(config["mesh_shape"]))
+            self._mesh = make_mesh(config["mesh_shape"])
         # mesh-aware evaluator: full-sort scoring routes through the
         # item-sharded distributed top-k when a tp axis is present
         self.evaluator = Evaluator(config, model, mesh=self._mesh)

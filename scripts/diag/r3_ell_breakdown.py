@@ -64,7 +64,8 @@ def main():
     t0 = time.time()
     meta = build_ell(src[order], dst[order], w[order], N)
     print(f"built in {time.time()-t0:.0f}s  E_pad/E="
-          f"{meta.e_padded/E:.3f}  n_vrows={meta.order.shape[0]}",
+          f"{meta.e_padded/E:.3f}  "
+          f"n_vrows={sum(int(i.shape[0]) for i in meta.idxs)}",
           flush=True)
     for idx in meta.idxs:
         n_b, k = idx.shape

@@ -19,6 +19,9 @@ def test_make_mesh_shapes():
     assert mesh.shape == {"dp": 4, "tp": 2}
     mesh1 = make_mesh(None)
     assert mesh1.shape["dp"] == len(jax.devices())
+    # CLI list shorthand --mesh_shape=[4,2] → default axis names
+    mesh2 = make_mesh([4, 2])
+    assert mesh2.shape == {"dp": 4, "tp": 2}
 
 
 def test_distributed_topk_matches_single_device():
@@ -250,6 +253,38 @@ def test_edge_sharded_ell_spmm_matches_dense():
                                * cot))(x))
         want_g = dense.T @ np.asarray(cot)
         np.testing.assert_allclose(grad, want_g, rtol=2e-4, atol=2e-4)
+
+
+def test_edge_sharded_ell_multi_vrow_heads_match_dense(monkeypatch):
+    """Pool-gather combine with multi-vrow nodes (deg > K_CAP heads —
+    the tiny-segment-sum branch): patch K_CAP down so hub nodes split
+    into several virtual rows, then check fwd + grad vs dense."""
+    import recbole_gnn_tpu.parallel.sharded_spmm as sp
+
+    monkeypatch.setattr(sp, "K_CAP", 8)
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    rng = np.random.default_rng(32)
+    n, e = 41, 600
+    src = rng.integers(0, n, e)
+    # power-law-ish dst: a few hubs take most edges (deg >> 8)
+    dst = np.where(rng.random(e) < 0.5, rng.integers(0, 3, e),
+                   rng.integers(0, n, e))
+    w = rng.normal(size=e).astype(np.float32)
+    meta = sp.build_sharded_ell(src, dst, w, n, 4)
+    assert meta.fwd.n_multi > 0   # the branch under test is exercised
+    x = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+
+    dense = np.zeros((n, n))
+    np.add.at(dense, (dst, src), w)
+    out = np.asarray(sp.sharded_ell_spmm(meta, x, mesh, axis="dp"))
+    np.testing.assert_allclose(out, dense @ np.asarray(x),
+                               rtol=2e-4, atol=2e-4)
+    grad = np.asarray(jax.grad(
+        lambda x_: jnp.sum(sp.sharded_ell_spmm(meta, x_, mesh, "dp")
+                           * cot))(x))
+    np.testing.assert_allclose(grad, dense.T @ np.asarray(cot),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_trainer_edge_sharded_graph_matches_single_device():
