@@ -72,6 +72,10 @@ MAX_BUCKETS = 12
 # At the high-avg-degree bench shape (500k nodes, avg deg 20) the DP
 # never picks the sub-4 widths — grid and time identical (71 ms) —
 # so the ladder is identical-or-better everywhere and is the default.
+# The FULL sub-8 ladder (1..7) was also measured (k1to7 A/B): E_pad/E
+# 1.173 → 1.080 but fwd 119.3 → 120.7 ms and step 709 → 749 ms — the
+# odd widths' extra per-op launches and unaligned (n, K) tiles eat
+# the 8% fewer gathered rows; pow2 sub-8 widths only.
 # 0/None disables (see _bucket_grid.kof).
 _K_SMALL = (1, 2, 4)
 

@@ -57,6 +57,10 @@ if "k124" in sys.argv[1:]:  # r4: sub-8 ladder — more buckets, less pad
     import recbole_gnn_tpu.ops.ell_spmm as _e
     _e._K_SMALL = (1, 2, 4)
     print("(k124: sub-8 bucket ladder 1/2/4)", flush=True)
+if "k1to7" in sys.argv[1:]:  # r4: full sub-8 ladder incl. odd widths
+    import recbole_gnn_tpu.ops.ell_spmm as _e
+    _e._K_SMALL = (1, 2, 3, 4, 5, 6, 7)
+    print("(k1to7: full sub-8 ladder)", flush=True)
 with_ell = True
 if "xla" in sys.argv[1:]:  # like-for-like impl A/B on the SAME graph
     import recbole_gnn_tpu.ops.spmm as _s
