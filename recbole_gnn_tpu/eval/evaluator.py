@@ -188,7 +188,17 @@ class Evaluator:
         ≈ 8e9 entries on an idle 16 GB v5e minus the propagated
         embeddings, converging to the hardware-verified constant;
         falls back to that constant where memory_stats is unavailable
-        (CPU tests, older runtimes)."""
+        (CPU tests, older runtimes).
+
+        Round-4 re-test (scripts/diag/r3_evalscan_repro.py, VERDICT
+        r3 #6): the whole 392-batch pass (1.12e11 entries, one
+        dispatch) now SURVIVES in isolation on the current runtime —
+        with the sort-based lax.top_k it runs 235 s, with the r4
+        exact-ApproxTopK masked_topk 44 s incl. compile.  The r2
+        crash is no longer reproducible without the full training
+        context (graph consts + params + opt state resident), so the
+        budget is kept as a cheap defensive bound for exactly that
+        resident-memory case, not as a hard correctness requirement."""
         try:
             stats = jax.devices()[0].memory_stats()
             free = (stats["bytes_limit"] - stats["bytes_in_use"])
