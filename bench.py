@@ -130,7 +130,8 @@ def main():
     def median(ts):
         return sorted(ts)[len(ts) // 2]
     batches2 = jax.device_put(make_batches(2 * N_STEPS))
-    _ = run_window(params, opt_state, graph, batches2)  # compile 2N prog
+    _, _, warm_loss = run_window(params, opt_state, graph, batches2)
+    float(warm_loss)   # force the 2N compile+run before timing resumes
     dt_med = time_window(batches, reduce=median, reps=5)
     dt2_med = time_window(batches2, reduce=median, reps=5)
     dev_step_s = max((dt2_med - dt_med) / N_STEPS, 1e-9)

@@ -264,9 +264,18 @@ class Evaluator:
         so one compiled shape serves the whole pass."""
         cfg_scan = self.config["eval_scan"]
         if isinstance(cfg_scan, bool):
-            B = batches[0]["user_id"].shape[0]
+            B = batches[0]["weight"].shape[0]   # present on every loader
             k = int(max(1, self._scan_entry_budget()
                         // max(1, B * self.n_items)))
+            # sequential batches also carry the per-session graph
+            # arrays (x / alias / edges / eop mailboxes …), which the
+            # score-entry budget does not see — additionally bound the
+            # stacked chunk's own INPUT bytes (k × one batch's arrays)
+            # to 1 GiB so long-L session datasets with small catalogs
+            # cannot stack multi-GiB scan inputs (r4 review finding)
+            batch_bytes = sum(np.asarray(v).nbytes
+                              for v in batches[0].values())
+            k = min(k, int(max(1, (1 << 30) // max(1, batch_bytes))))
         else:
             k = int(cfg_scan)
         k = max(1, min(k, len(batches)))

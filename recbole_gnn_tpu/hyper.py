@@ -210,9 +210,16 @@ class HyperTuning:
         n_startup = min(5, self.max_evals)
         while len(obs) < self.max_evals:
             if len(obs) < n_startup:
+                # bounded de-dup: a small all-discrete space can have
+                # fewer unique combos than n_startup — after
+                # max_attempts collisions, accept the duplicate draw
+                # (mirrors the 'random' algo's guard) so the loop
+                # always terminates
                 cand = self._sample_prior(rng)
-                if str(cand) in seen:
-                    continue
+                for _ in range(64):
+                    if str(cand) not in seen:
+                        break
+                    cand = self._sample_prior(rng)
             else:
                 srt = sorted(obs, key=lambda t: -t[1] if bigger else t[1])
                 n_good = max(1, int(np.ceil(0.25 * len(srt))))

@@ -81,17 +81,42 @@ def srgnn_cell_dense(p: dict, hidden: jax.Array, a_in: jax.Array,
     return (1.0 - update) * hidden + update * new
 
 
+@jax.custom_vjp
+def gather_slots(hidden: jax.Array, idx: jax.Array) -> jax.Array:
+    """(B, L_out, D) = hidden[b, idx[b, l], :] — slot gather with a
+    matmul transpose.
+
+    Forward is an EXACT take_along_axis (an earlier r4 form ran the
+    forward as a one-hot einsum, which on TPU rides the default
+    bf16-class matmul precision and silently rounded f32 states —
+    review finding).  Backward scatters the cotangent through a
+    one-hot MATMUL at HIGHEST precision instead of letting autodiff
+    emit an XLA scatter into (B, L, D) — the scatter dominated the
+    LESSR/SRGNN-family train step (23 of 46 ms at diginetica scale,
+    scripts/diag/r4_lessr_ab.py ablation)."""
+    return jnp.take_along_axis(hidden, idx[:, :, None], axis=1)
+
+
+def _gather_slots_fwd(hidden, idx):
+    return gather_slots(hidden, idx), (idx, hidden.shape[1])
+
+
+def _gather_slots_bwd(res, g):
+    idx, n_slots = res
+    oh = jax.nn.one_hot(idx, n_slots, dtype=g.dtype)     # (B, L_out, S)
+    gx = jnp.einsum("bls,bld->bsd", oh, g,
+                    precision=jax.lax.Precision.HIGHEST)
+    return gx, None
+
+
+gather_slots.defvjp(_gather_slots_fwd, _gather_slots_bwd)
+
+
 def gather_seq_hidden(hidden: jax.Array, batch) -> jax.Array:
     """(B, L, D) node states re-scattered to sequence positions via
-    alias_inputs (reference srgnn.py:95).
-
-    One-hot batched matmul instead of take_along_axis: the latter's
-    VJP is an XLA scatter into (B, L, D) — slot gathers whose cotangent
-    flows every train step go through matmuls whose VJP is a matmul
-    (same finding as the LESSR EOPA ablation, scripts/diag/r4_lessr_ab)."""
-    alias = batch["alias_inputs"]
-    oh = jax.nn.one_hot(alias, hidden.shape[1], dtype=hidden.dtype)
-    return jnp.einsum("bls,bsd->bld", oh, hidden)
+    alias_inputs (reference srgnn.py:95) — exact gather forward,
+    matmul backward (gather_slots)."""
+    return gather_slots(hidden, batch["alias_inputs"])
 
 
 def last_hidden(seq_hidden: jax.Array, item_seq_len: jax.Array) -> jax.Array:

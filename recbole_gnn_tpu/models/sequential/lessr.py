@@ -127,24 +127,34 @@ class LESSR(SequentialRecommender):
         rng, dropped = self._dropout(rng, feat, train)
         mail, cnt = batch["eop_mail"], batch["eop_mail_cnt"]
         K = mail.shape[2]
-        L = feat.shape[1]
         state0 = jnp.zeros_like(feat)
-        # slot gathers as one-hot batched matmuls: the VJP of a
-        # take_along_axis is an XLA scatter into (B,L,D) — measured to
+        # slot gathers via gather_slots: exact take_along_axis forward,
+        # one-hot MATMUL backward — autodiff's scatter VJP measured to
         # dominate the train step (23 of 46 ms at diginetica scale,
-        # scripts/diag/r4_lessr_ab.py ablation); a matmul's VJP is a
-        # matmul.  (B,K,L,L) one-hots are built once outside the scan.
-        oh = jax.nn.one_hot(jnp.moveaxis(mail, 2, 1), L,
-                            dtype=dropped.dtype)          # (B, K, L, L)
+        # scripts/diag/r4_lessr_ab.py ablation)
+        from recbole_gnn_tpu.models.sequential.common import gather_slots
 
-        # K is static and small (max in-degree, ~2-5 on session data):
-        # unrolled loop — no scan carry/residual machinery in the VJP
-        neigh = state0
-        for k in range(K):
-            valid = (k < cnt)
-            msg = jnp.einsum("bls,bsd->bld", oh[:, k], dropped)
+        def step(neigh, k, mail_k):
+            msg = gather_slots(dropped, mail_k)
             new = gru_step(lp["gru"], neigh, msg)
-            neigh = jnp.where(valid[:, :, None], new, neigh)
+            return jnp.where((k < cnt)[:, :, None], new, neigh)
+
+        if K <= 8:
+            # common case (max in-degree ~2-5 on session data):
+            # unrolled — no scan carry/residual machinery in the VJP
+            neigh = state0
+            for k in range(K):
+                neigh = step(neigh, k, mail[:, :, k])
+        else:
+            # degenerate sessions (one node revisited many times) can
+            # push K toward L−1: a Python unroll would blow up compile
+            # time and keep K (B,L,D) GRU residuals live — scan instead
+            # (review finding, r4)
+            def body(neigh, inp):
+                k, mail_k = inp
+                return step(neigh, k, mail_k), None
+            neigh, _ = jax.lax.scan(
+                body, state0, (jnp.arange(K), jnp.moveaxis(mail, 2, 0)))
         out = linear(lp["fc_self"], feat) + linear(lp["fc_neigh"], neigh)
         return rng, _prelu(lp["prelu"], out)
 

@@ -36,8 +36,10 @@ HBM bandwidth (~0.5 ns/edge), leaving only the irreducible gather:
               case H — because segment-sum pays a per-ROW issue cost;
               the single gather pays it once per NODE.)
 
-Measured (same probe protocol): 8.8 ns/edge with pow2 buckets
-(E_pad/E = 1.34); the mult-8 DP grid reaches 7.1 ns/edge.
+Measured (same probe protocol, 10M-edge bench shape): 8.8 ns/edge
+with pow2 buckets (E_pad/E = 1.34); mult-8 DP grid 7.1; with the r4
+(1,2,4) ladder + pool-gather combine **6.66 ns/edge = 0.91 of the
+~5.1 ns/row gather-floor ceiling** (PARITY.md round-4 floor proof).
 Weights are baked into the layout at build time; dynamic weights have
 two routes: Graph.with_weight(...) clears the layouts (per-STEP
 re-weighting → segment-sum path), and with_weight(rebuild_ell=True) /

@@ -64,10 +64,16 @@ def case_p():
             n_b, k = idx.shape
             g = x.at[idx.reshape(-1)].get(mode="promise_in_bounds")
             outs.append(jnp.einsum("nkd,nk->nd", g.reshape(n_b, k, D), ww))
-        vr = jnp.concatenate(outs, axis=0)[meta.order]
-        return jax.ops.segment_sum(vr, meta.vnode_sorted,
-                                   num_segments=meta.n_nodes,
-                                   indices_are_sorted=True)
+        # r4 pool-gather combine (mirrors ell_spmm)
+        pool = outs
+        if meta.n_multi:
+            vr = jnp.concatenate(outs, axis=0)
+            msums = jax.ops.segment_sum(vr[meta.mgidx], meta.msegs,
+                                        num_segments=meta.n_multi,
+                                        indices_are_sorted=True)
+            pool = [vr, msums]
+        pool = pool + [jnp.zeros((1, D), x.dtype)]
+        return jnp.concatenate(pool, axis=0)[meta.node_src]
 
     @jax.jit
     def f(x):

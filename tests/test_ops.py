@@ -537,3 +537,28 @@ def test_grouped_topk_exact():
     # returned indices must actually hold those values
     got = np.take_along_axis(scores, np.asarray(i1), axis=1)
     np.testing.assert_allclose(got, np.asarray(v2))
+
+
+def test_gather_slots_exact_forward_and_matmul_backward():
+    """gather_slots: forward must equal take_along_axis exactly (r4
+    review: the one-hot-einsum form rounded f32 on TPU's bf16-class
+    default matmul precision); backward (one-hot matmul) must equal
+    autodiff of the plain gather."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from recbole_gnn_tpu.models.sequential.common import gather_slots
+
+    rng = np.random.default_rng(0)
+    B, S, L, D = 4, 7, 5, 8
+    hidden = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, S, (B, L)))
+    ref = jnp.take_along_axis(hidden, idx[:, :, None], axis=1)
+    np.testing.assert_array_equal(np.asarray(gather_slots(hidden, idx)),
+                                  np.asarray(ref))
+    cot = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    g1 = jax.grad(lambda h: jnp.sum(gather_slots(h, idx) * cot))(hidden)
+    g2 = jax.grad(lambda h: jnp.sum(
+        jnp.take_along_axis(h, idx[:, :, None], axis=1) * cot))(hidden)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-6)

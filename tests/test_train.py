@@ -253,6 +253,20 @@ def test_hyper_tuning_bayes(tmp_path):
             > hp._tpe_logratio(near_bad, good, bad))
 
 
+def test_hyper_tuning_bayes_tiny_discrete_space_terminates(tmp_path):
+    """All-discrete space with fewer unique combos than the startup
+    budget must still terminate (duplicate draws get accepted after a
+    bounded retry, not looped on forever)."""
+    from recbole_gnn_tpu.hyper import HyperTuning
+
+    pf = tmp_path / "params.hyper"
+    pf.write_text("learning_rate choice [0.01,0.001]\n")  # 2 combos < 5
+    hp = HyperTuning(params_file=str(pf), algo="bayes", max_evals=4,
+                     fixed_config_dict=base_config_dict(model="BPR"))
+    hp.run()
+    assert len(hp.params2result) >= 2      # both combos seen, no hang
+
+
 def test_config_cascade_precedence(tmp_path):
     # model yaml < user file < config dict
     f = tmp_path / "user.yaml"
