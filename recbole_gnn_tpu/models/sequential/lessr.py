@@ -29,6 +29,11 @@ from recbole_gnn_tpu.models.init import linear, linear_params, normal_init, \
 from recbole_gnn_tpu.models.layers import gru_params, gru_step
 from recbole_gnn_tpu.models.losses import cross_entropy
 
+# EOPA mailbox steps are unrolled up to this K (typical session data:
+# max in-degree 2-5); above it a lax.scan bounds compile time and VJP
+# residuals — one degenerate repetitive session can push K toward L−1
+_EOPA_UNROLL_MAX_K = 8
+
 
 def _prelu(alpha, x):
     return jnp.where(x >= 0, x, alpha * x)
@@ -139,7 +144,7 @@ class LESSR(SequentialRecommender):
             new = gru_step(lp["gru"], neigh, msg)
             return jnp.where((k < cnt)[:, :, None], new, neigh)
 
-        if K <= 8:
+        if K <= _EOPA_UNROLL_MAX_K:
             # common case (max in-degree ~2-5 on session data):
             # unrolled — no scan carry/residual machinery in the VJP
             neigh = state0

@@ -75,3 +75,56 @@ def test_gcegnn_hop2():
 
 def test_lessr():
     quick_test({"model": "LESSR"})
+
+
+def test_lessr_eopa_scan_path_matches_unroll():
+    """Degenerate repetitive sessions push the mailbox K past the
+    unroll cap — the lax.scan branch must produce exactly the unrolled
+    result (r4 review: (B,K,L,L) unroll blowup guard)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import recbole_gnn_tpu.models.sequential.lessr as lessr_mod
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.data.session import build_lessr_graphs
+
+    L = 20
+    # one session alternating back to item 5 → in-degree 9 > 8
+    seqs = np.zeros((4, L), np.int64)
+    seqs[0, :19] = [5, 3, 5, 4, 5, 6, 5, 7, 5, 8, 5, 9, 5, 10, 5, 11,
+                    5, 12, 5]
+    seqs[1, :3] = [1, 2, 3]
+    seqs[2, :2] = [7, 8]
+    seqs[3, :4] = [2, 4, 2, 4]
+    lens = np.array([19, 3, 2, 4], np.int64)
+    graphs, _ = build_lessr_graphs(seqs, lens, L)
+    batch = {k: jnp.asarray(v) for k, v in graphs.items()}
+    K = batch["eop_mail"].shape[2]
+    assert K > lessr_mod._EOPA_UNROLL_MAX_K
+
+    cfg = Config(model="LESSR", dataset="synthetic",
+                 config_dict={"data_path": "/nonexistent",
+                              "embedding_size": 16, "n_layers": 2,
+                              "batch_norm": False, "feat_drop": 0.0})
+
+    class DS:
+        n_users, n_items, inter_num = 1, 32, 4
+
+    model = lessr_mod.LESSR(cfg, DS())
+    params = model.init_params(jax.random.PRNGKey(0))
+    feat = params["item_emb"][batch["x"]]
+    nmask = jnp.arange(L)[None, :] < batch["n_nodes"][:, None]
+    lp = params["layers"][0]
+    _, out_scan = model._eopa(lp, feat, batch, nmask,
+                              jax.random.PRNGKey(0), train=False)
+    # force the unrolled branch on the same data
+    old = lessr_mod._EOPA_UNROLL_MAX_K
+    try:
+        lessr_mod._EOPA_UNROLL_MAX_K = K
+        _, out_unroll = model._eopa(lp, feat, batch, nmask,
+                                    jax.random.PRNGKey(0), train=False)
+    finally:
+        lessr_mod._EOPA_UNROLL_MAX_K = old
+    np.testing.assert_allclose(np.asarray(out_scan),
+                               np.asarray(out_unroll),
+                               rtol=1e-6, atol=1e-6)
