@@ -209,13 +209,25 @@ class SGL(GeneralGraphRecommender):
     def calculate_loss(self, params, consts, extras, batch, rng, mode=0):
         user, pos, neg = batch["user_id"], batch["item_id"], batch["neg_item_id"]
         w = batch.get("weight")
-        u_all, i_all = self._forward_base(params, consts)
-        u1, i1 = self._forward_view(params, consts, extras["view1"],
-                                    extras.get("view1_ell"),
-                                    extras.get("view1_ell_r"))
-        u2, i2 = self._forward_view(params, consts, extras["view2"],
-                                    extras.get("view2_ell"),
-                                    extras.get("view2_ell_r"))
+        # three full-graph propagations per step: remat each so the
+        # backward recomputes the (n_nodes, D) layer activations
+        # instead of keeping 3 graphs × n_layers of them live — at
+        # gowalla scale (1.42M nodes) the saved residuals plus the ELL
+        # gather transients exceed one chip's HBM (measured,
+        # scripts/diag/r4_sgl_gowalla.py); remat trades ~1 extra
+        # propagation per graph for ~4 GiB of residuals
+        # consts passed as explicit checkpoint args — a closure over
+        # traced values leaks tracers out of the remat scope
+        u_all, i_all = jax.checkpoint(
+            lambda p, c: self._forward_base(p, c))(params, consts)
+        view_fn = jax.checkpoint(
+            lambda p, c, vw, f, r: self._forward_view(p, c, vw, f, r))
+        u1, i1 = view_fn(params, consts, extras["view1"],
+                         extras.get("view1_ell"),
+                         extras.get("view1_ell_r"))
+        u2, i2 = view_fn(params, consts, extras["view2"],
+                         extras.get("view2_ell"),
+                         extras.get("view2_ell_r"))
 
         u_e, p_e, n_e = u_all[user], i_all[pos], i_all[neg]
         l1 = -jax.nn.log_sigmoid(

@@ -66,6 +66,45 @@ def reg_loss_l2(params_leaves: list[jax.Array]) -> jax.Array:
     return sum(jnp.sum(p * p) for p in params_leaves)
 
 
+# (B, n_all) InfoNCE denominators larger than this many score entries
+# stream through a chunked logsumexp instead of materializing the
+# logits: SGL's all-node negatives at gowalla scale would otherwise
+# build an f32[4096, 1.12M] = 18 GiB buffer (compile-time OOM on a
+# 16 GiB v5e — measured, scripts/diag/r4_sgl_gowalla.py)
+_NCE_CHUNK_ENTRIES = 1 << 28
+
+
+def _chunked_lse(v1: jax.Array, av2: jax.Array, tau: float) -> jax.Array:
+    """Exact streaming logsumexp of v1 @ av2.T / tau over row-chunks of
+    ``av2`` — running (max, sum·exp) carry; the per-chunk logits block
+    stays ≤ ~1 GiB and jax.checkpoint keeps the backward from saving
+    every block (it recomputes them from the tiny carries)."""
+    B = v1.shape[0]
+    n = av2.shape[0]
+    rows = max(1024, _NCE_CHUNK_ENTRIES // max(1, B))
+    rows = min(rows, n)
+    pad = (-n) % rows
+    av2p = jnp.pad(av2, ((0, pad), (0, 0)))
+    valid = (jnp.arange(n + pad) < n).reshape(-1, rows)
+    chunks = av2p.reshape(-1, rows, av2.shape[1])
+
+    @jax.checkpoint
+    def body(carry, cv):
+        c, vmask = cv
+        m, s = carry
+        lg = jnp.dot(v1, c.T, preferred_element_type=jnp.float32) / tau
+        lg = jnp.where(vmask[None, :], lg, -jnp.inf)
+        cm = jnp.max(lg, axis=-1)
+        nm = jnp.maximum(m, cm)
+        s = s * jnp.exp(m - nm) + jnp.sum(jnp.exp(lg - nm[:, None]), -1)
+        return (nm, s), None
+
+    m0 = jnp.full((B,), -jnp.inf, jnp.float32)
+    s0 = jnp.zeros((B,), jnp.float32)
+    (m, s), _ = jax.lax.scan(body, (m0, s0), (chunks, valid))
+    return m + jnp.log(s)
+
+
 def info_nce(view1: jax.Array, view2: jax.Array, temperature: float,
              weight: jax.Array | None = None,
              all_view2: jax.Array | None = None,
@@ -76,13 +115,19 @@ def info_nce(view1: jax.Array, view2: jax.Array, temperature: float,
     ``all_view2`` (defaults to view2).  Views are L2-normalized inside,
     matching the reference models (sgl.py:176-209, simgcl.py:40-60).
     reduction 'sum' reproduces SGL/SimGCL sum-reduction; 'mean' is
-    XSimGCL's."""
+    XSimGCL's.  Web-scale denominators stream through _chunked_lse —
+    bit-compatible logsumexp, bounded memory."""
     v1 = _l2n(view1)
     v2 = _l2n(view2)
     av2 = v2 if all_view2 is None else _l2n(all_view2)
     pos = jnp.sum(v1 * v2, axis=-1) / temperature
-    logits = jnp.dot(v1, av2.T, preferred_element_type=jnp.float32) / temperature
-    loss = jax.nn.logsumexp(logits, axis=-1) - pos
+    if v1.shape[0] * av2.shape[0] > _NCE_CHUNK_ENTRIES:
+        lse = _chunked_lse(v1, av2, temperature)
+    else:
+        logits = jnp.dot(v1, av2.T,
+                         preferred_element_type=jnp.float32) / temperature
+        lse = jax.nn.logsumexp(logits, axis=-1)
+    loss = lse - pos
     if reduction == "sum":
         return _wsum(loss, weight)
     return _wmean(loss, weight)

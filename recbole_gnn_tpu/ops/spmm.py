@@ -38,6 +38,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -290,6 +291,74 @@ def _spmm_coo_chunked(src, dst, weight, x, n_out, indices_are_sorted,
     return jax.lax.fori_loop(0, n_chunks, body, acc0)
 
 
+def _zero_cot(x):
+    """Zero cotangent for a pytree leaf: float0 for integer leaves
+    (jax's required tangent dtype), zeros_like otherwise — DCE'd under
+    jit since nothing consumes graph cotangents."""
+    if jnp.issubdtype(jnp.result_type(x), jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(np.shape(x), jax.dtypes.float0)
+
+
+def _spmm_dispatch(conf, graph, x_):
+    use_ell, use_pallas, _ = conf
+    if use_ell:
+        from recbole_gnn_tpu.ops.ell_spmm import ell_spmm
+        return ell_spmm(graph.ell, x_)   # weights baked into the layout
+    if use_pallas:
+        from recbole_gnn_tpu.ops.pallas_spmm import pallas_spmm
+        return pallas_spmm(graph.src, graph.dst, graph.weight, x_,
+                           graph.block_ptr)[:graph.n_nodes]
+    return spmm_coo(graph.src, graph.dst, graph.weight, x_, graph.n_nodes)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_core(conf, graph, x_):
+    """Module-level custom-VJP SpMM: the graph rides as an EXPLICIT
+    pytree argument, never a closure — a custom_vjp whose fwd/bwd
+    close over tracers leaks them out of a surrounding jax.checkpoint
+    scope (hit by SGL's rematerialized view propagations, r4)."""
+    return _spmm_dispatch(conf, graph, x_)
+
+
+def _spmm_core_fwd(conf, graph, x_):
+    return _spmm_dispatch(conf, graph, x_), (graph, x_)
+
+
+def _spmm_core_bwd(conf, res, g):
+    use_ell, use_pallas, weight_grad = conf
+    graph, x_ = res
+    rev_w = graph.rev_weight
+    # dL/dx[s] = Σ_{e: src[e]=s} w[e]·g[dst[e]] — transpose SpMM.
+    # Use the precomputed transposed weights when available: the
+    # (E,) gather w[reid] costs ~5 ns/row on v5e (~60 ms/layer at
+    # gowalla scale) if paid per backward.
+    if use_ell:
+        from recbole_gnn_tpu.ops.ell_spmm import ell_spmm
+        gx = ell_spmm(graph.rev_ell, g)
+    elif use_pallas and graph.rev_block_ptr is not None:
+        from recbole_gnn_tpu.ops.pallas_spmm import pallas_spmm
+        rw = (rev_w if rev_w is not None
+              else graph.weight[graph.rev_edge_id])
+        gx = pallas_spmm(graph.rev_src, graph.rev_dst, rw, g,
+                         graph.rev_block_ptr)[:graph.n_src_nodes]
+    else:
+        rw = (rev_w if rev_w is not None
+              else graph.weight[graph.rev_edge_id])
+        # spmm_coo auto-chunks huge graphs (no full msgs stream)
+        gx = spmm_coo(graph.rev_src, graph.rev_dst, rw, g,
+                      graph.n_src_nodes)
+    g_graph = jax.tree_util.tree_map(_zero_cot, graph)
+    if weight_grad:
+        # dL/dw[e] = x[src[e]] · g[dst[e]]
+        gw = jnp.sum(x_[graph.src] * g[graph.dst], axis=-1)
+        g_graph = replace(g_graph, weight=gw)
+    return g_graph, gx
+
+
+_spmm_core.defvjp(_spmm_core_fwd, _spmm_core_bwd)
+
+
 def spmm(graph: Graph, x: jax.Array,
          weight_grad: bool = False) -> jax.Array:
     """SpMM over a :class:`Graph`.  The x-gradient runs as a transpose
@@ -305,60 +374,15 @@ def spmm(graph: Graph, x: jax.Array,
     if graph.rev_src is None:
         return spmm_coo(graph.src, graph.dst, graph.weight, x, graph.n_nodes)
 
-    src, dst = graph.src, graph.dst
-    rsrc, rdst, reid = graph.rev_src, graph.rev_dst, graph.rev_edge_id
-    rev_w = graph.rev_weight
-    n_out, n_in = graph.n_nodes, graph.n_src_nodes
-    bp, rbp = graph.block_ptr, graph.rev_block_ptr
     # impl dispatch: bucketed-ELL when its layout is present (cleared
     # by with_weight — baked weights) and selected; the streaming
     # Pallas kernel when ITS metadata is present and selected; XLA
     # sorted segment-sum otherwise
     use_ell = (graph.ell is not None and graph.rev_ell is not None
                and SPMM_IMPL == "ell")
-    use_pallas = (bp is not None and _pallas_available()
+    use_pallas = (graph.block_ptr is not None and _pallas_available()
                   and SPMM_IMPL == "pallas")
-    ell, rev_ell = graph.ell, graph.rev_ell
-
-    @jax.custom_vjp
-    def _f(w, x_):
-        if use_ell:
-            from recbole_gnn_tpu.ops.ell_spmm import ell_spmm
-            return ell_spmm(ell, x_)   # w baked into the layout
-        if use_pallas:
-            from recbole_gnn_tpu.ops.pallas_spmm import pallas_spmm
-            return pallas_spmm(src, dst, w, x_, bp)[:n_out]
-        return spmm_coo(src, dst, w, x_, n_out)
-
-    def _fwd(w, x_):
-        return _f(w, x_), (w, x_)
-
-    def _bwd(res, g):
-        w, x_ = res
-        # dL/dx[s] = Σ_{e: src[e]=s} w[e]·g[dst[e]] — transpose SpMM.
-        # Use the precomputed transposed weights when available: the
-        # (E,) gather w[reid] costs ~5 ns/row on v5e (~60 ms/layer at
-        # gowalla scale) if paid per backward.
-        if use_ell:
-            from recbole_gnn_tpu.ops.ell_spmm import ell_spmm
-            gx = ell_spmm(rev_ell, g)
-        elif use_pallas and rbp is not None:
-            from recbole_gnn_tpu.ops.pallas_spmm import pallas_spmm
-            rw = rev_w if rev_w is not None else w[reid]
-            gx = pallas_spmm(rsrc, rdst, rw, g, rbp)[:n_in]
-        else:
-            rw = rev_w if rev_w is not None else w[reid]
-            # spmm_coo auto-chunks huge graphs (no full msgs stream)
-            gx = spmm_coo(rsrc, rdst, rw, g, n_in)
-        if weight_grad:
-            # dL/dw[e] = x[src[e]] · g[dst[e]]
-            gw = jnp.sum(x_[src] * g[dst], axis=-1)
-        else:
-            gw = jnp.zeros_like(w)
-        return gw, gx
-
-    _f.defvjp(_fwd, _bwd)
-    return _f(graph.weight, x)
+    return _spmm_core((use_ell, use_pallas, weight_grad), graph, x)
 
 
 def _pallas_available() -> bool:
