@@ -37,6 +37,15 @@ class SGL(GeneralGraphRecommender):
         self.ssl_tau = float(config["ssl_tau"] or 0.5)
         self.reg_weight = float(config["reg_weight"] or 1e-5)
         self.ssl_weight = float(config["ssl_weight"] or 0.05)
+        # activation_dtype: bfloat16 halves the three propagations'
+        # (n_nodes, D) activations + cotangents — the batch-independent
+        # footprint that keeps f32 SGL off one 16 GiB chip at web scale
+        # (18.2 GiB measured at gowalla shape, results/gowalla.md);
+        # bf16 graph propagation is metric-identical on the fixture at
+        # 4 decimals (PARITY.md bf16 experiment).  Losses stay f32.
+        self.act_dtype = (jnp.bfloat16
+                          if str(config["activation_dtype"] or "")
+                          .startswith("bf") else None)
         if self.aug_type not in ("ND", "ED", "RW"):
             raise ValueError(f"unknown SGL aug type {self.aug_type!r}")
         # raw interaction endpoints for augmentation (reference :55-57)
@@ -153,11 +162,14 @@ class SGL(GeneralGraphRecommender):
 
     def _propagate_layers(self, params, graph_per_layer):
         x = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
+        if self.act_dtype is not None:
+            x = x.astype(self.act_dtype)
         outs = [x]
         for layer_graph in graph_per_layer:
             x = layer_graph(x)
             outs.append(x)
-        final = jnp.mean(jnp.stack(outs, axis=0), axis=0)
+        final = jnp.mean(jnp.stack(outs, axis=0).astype(jnp.float32),
+                         axis=0)
         return final[:self.n_users], final[self.n_users:]
 
     def _forward_base(self, params, consts):

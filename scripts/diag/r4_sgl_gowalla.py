@@ -44,10 +44,15 @@ if "tight" in sys.argv[1:]:
     print("(tight: 1 GiB bucket budget, 128M-entry NCE chunks)",
           flush=True)
 
+cfg_extra = {}
+if "bf16" in sys.argv[1:]:
+    cfg_extra["activation_dtype"] = "bfloat16"
+    print("(bf16 activations)", flush=True)
 cfg = Config(model="SGL", dataset="gowalla_synth", config_dict={
     "data_path": "/tmp/synth_data", "train_batch_size": B,
     "enable_sparse": True, "state": "ERROR",
-    "load_col": {"inter": ["user_id", "item_id", "timestamp"]}})
+    "load_col": {"inter": ["user_id", "item_id", "timestamp"]},
+    **cfg_extra})
 t0 = time.time()
 ds = create_dataset(cfg)
 (tl, tr_ds), _, _ = data_preparation(cfg, ds)
