@@ -1,0 +1,394 @@
+"""Production serving path: export a trained model to a standalone
+artifact, then answer top-k recommendation queries from it.
+
+The reference has no serving layer; its closest surface is [recbole]
+``utils/case_study.py`` (mirrored here in ``utils/case_study.py``),
+which needs the full dataset + model objects resident.  For deployment
+that is the wrong shape: every factorized model (every general/social
+model except NeuMF — ``models/base.py factorized_eval``) collapses at
+serving time to two dense tables — propagate once, then every query is
+one (B, d) x (d, n_items) MXU matmul + masked top-k.  So the serving
+artifact IS those tables plus the token vocabularies and the user
+history (for the mask), and the query path never touches the training
+stack.
+
+TPU-first shape of the query path:
+- scoring is a single MXU matmul per user chunk (``ops/topk.py``
+  ``chunked_full_sort_topk``) — static shapes, jit-cached per (B, k);
+- top-k rides the exact-ApproxTopK route on big catalogs
+  (``masked_topk``: recall_target=1.0 == exact, ~8x faster than the
+  sort lax.top_k lowers to — measured r4, results/gowalla.md);
+- multi-chip catalogs use the item-sharded distributed top-k
+  (``parallel/topk.py``) — pass ``mesh_shape`` at export/query time.
+
+Sequential models score *sessions*, not user ids; they are served by
+rebuilding the model from a checkpoint (``quick_start`` path) — a
+static artifact cannot capture a session encoder.  NeuMF (non-
+factorized MLP scorer) likewise.  Both raise a clear error here.
+
+CLI:
+  python -m recbole_gnn_tpu.serve export -m LightGCN -d ml-100k \
+      [--config_files ...] [--checkpoint saved/LightGCN-ml-100k.ckpt] \
+      --out /tmp/lightgcn.artifact.npz
+  python -m recbole_gnn_tpu.serve query --artifact /tmp/... \
+      --users 196 186 22 -k 10
+  python -m recbole_gnn_tpu.serve http --artifact /tmp/... --port 8080
+      # POST /recommend {"users": ["196"], "k": 10}; GET /healthz
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+ARTIFACT_VERSION = 1
+
+
+# -- export -------------------------------------------------------------
+
+def export_artifact(config, out_path: str, checkpoint_path: str | None = None,
+                    mask_splits: str = "all") -> str:
+    """Propagate a trained checkpoint once and write the serving artifact.
+
+    ``config``: a ``Config`` (or kwargs via ``export_artifact_from_args``).
+    ``checkpoint_path``: defaults to the trainer's save path
+    (``{checkpoint_dir}/{model}-{dataset}.ckpt``).
+    ``mask_splits``: which observed interactions the server masks out of
+    recommendations — ``"all"`` (train+valid+test; the production
+    convention: never re-recommend anything the user has seen) or
+    ``"train"`` (the offline-eval convention).
+    """
+    import jax
+
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    from recbole_gnn_tpu.train.checkpoint import load_checkpoint
+    from recbole_gnn_tpu.utils.enums import ModelType
+
+    if config["MODEL_TYPE"] == ModelType.SEQUENTIAL:
+        raise ValueError(
+            "sequential models score sessions, not user ids — serve them "
+            "from a checkpoint via quick_start/model.full_scores")
+    ds = create_dataset(config)
+    (train_loader, train_ds), (_, valid_ds), (_, test_ds) = \
+        data_preparation(config, ds)
+    del train_loader
+    model = get_model(config["model"])(config, train_ds)
+    if not model.factorized_eval:
+        raise ValueError(
+            f"{config['model']} has no factorized eval form; serve it "
+            "from a checkpoint (score_users_vs_all)")
+
+    ckpt = checkpoint_path or os.path.join(
+        config["checkpoint_dir"] or "saved/",
+        f"{config['model']}-{config['dataset']}.ckpt")
+    state = load_checkpoint(ckpt)
+    params, extras = state["params"], state.get("extras", {})
+    user_table, item_table = jax.jit(model.propagate)(
+        params, model.consts, extras)
+    user_table = np.asarray(user_table, dtype=np.float32)
+    item_table = np.asarray(item_table, dtype=np.float32)
+
+    splits = ((train_ds, valid_ds, test_ds) if mask_splits == "all"
+              else (train_ds,))
+    users = np.concatenate([s.user_item_arrays()[0] for s in splits])
+    items = np.concatenate([s.user_item_arrays()[1] for s in splits])
+    order = np.argsort(users, kind="stable")
+    hist_items = items[order].astype(np.int64)
+    hist_indptr = np.searchsorted(users[order],
+                                  np.arange(train_ds.n_users + 1))
+
+    meta = {
+        "version": ARTIFACT_VERSION,
+        "model": str(config["model"]),
+        "dataset": str(config["dataset"]),
+        "n_users": int(train_ds.n_users),
+        "n_items": int(train_ds.n_items),
+        "dim": int(user_table.shape[1]),
+        "mask_splits": mask_splits,
+        "checkpoint": ckpt,
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    tmp = f"{out_path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez_compressed(
+                f,
+                user_table=user_table, item_table=item_table,
+                hist_indptr=hist_indptr.astype(np.int64),
+                hist_items=hist_items,
+                user_tokens=np.asarray(
+                    train_ds.field2id_token[train_ds.uid_field], dtype=object),
+                item_tokens=np.asarray(
+                    train_ds.field2id_token[train_ds.iid_field], dtype=object),
+                meta=np.frombuffer(
+                    json.dumps(meta).encode(), dtype=np.uint8),
+            )
+        os.replace(tmp, out_path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return out_path
+
+
+# -- server -------------------------------------------------------------
+
+class RecServer:
+    """Standalone query server over an exported artifact.
+
+    Queries never touch the training stack: the artifact holds the
+    propagated tables, vocabularies and history.  ``recommend`` is the
+    single public call; the underlying scorer is jitted once per
+    (batch-bucket, k) and reused.
+    """
+
+    #: queries are padded up to the next bucket so jit caches stay warm
+    BATCH_BUCKETS = (1, 8, 64, 256, 1024)
+
+    def __init__(self, artifact_path: str, mesh_shape=None):
+        import jax.numpy as jnp
+
+        with np.load(artifact_path, allow_pickle=True) as z:
+            self.meta = json.loads(bytes(z["meta"]).decode())
+            if self.meta.get("version") != ARTIFACT_VERSION:
+                raise ValueError(
+                    f"artifact version {self.meta.get('version')} != "
+                    f"{ARTIFACT_VERSION}")
+            self.user_table = jnp.asarray(z["user_table"])
+            self.item_table = jnp.asarray(z["item_table"])
+            self._hist_indptr = z["hist_indptr"]
+            self._hist_items = z["hist_items"]
+            self.user_tokens = z["user_tokens"]
+            self.item_tokens = z["item_tokens"]
+        self.n_users, self.n_items = self.meta["n_users"], self.meta["n_items"]
+        self._token2uid = {str(t): i for i, t in enumerate(self.user_tokens)}
+        self._mesh = None
+        if mesh_shape:
+            import jax.numpy as jnp
+
+            from recbole_gnn_tpu.parallel.mesh import make_mesh
+            self._mesh = make_mesh(mesh_shape)
+            # the item-sharded top-k needs n_items % n_shards == 0;
+            # pad with PAD rows and pass the real size as n_valid_items
+            shards = self._mesh.shape["tp"]
+            pad = (-self.item_table.shape[0]) % shards
+            if pad:
+                self.item_table = jnp.pad(self.item_table,
+                                          ((0, pad), (0, 0)))
+        self._jit_cache = {}
+
+    # .. internals ..
+
+    def _bucket(self, n: int) -> int:
+        for b in self.BATCH_BUCKETS:
+            if n <= b:
+                return b
+        return -(-n // self.BATCH_BUCKETS[-1]) * self.BATCH_BUCKETS[-1]
+
+    def _scorer(self, batch: int, k: int):
+        key = (batch, k)
+        if key not in self._jit_cache:
+            import jax
+            import jax.numpy as jnp
+
+            from recbole_gnn_tpu.ops.topk import NEG_INF, masked_topk
+
+            if self._mesh is not None:
+                from recbole_gnn_tpu.parallel.topk import (
+                    distributed_full_sort_topk)
+
+                def fn(uids, hist, item_table, user_table):
+                    ue = user_table[uids]
+                    return distributed_full_sort_topk(
+                        ue, item_table, hist, k, self._mesh,
+                        n_valid_items=self.n_items)
+            else:
+                def fn(uids, hist, item_table, user_table):
+                    ue = user_table[uids]
+                    scores = jnp.dot(ue, item_table.T,
+                                     preferred_element_type=jnp.float32)
+                    rows = jnp.arange(scores.shape[0])[:, None]
+                    mask = jnp.zeros(scores.shape, bool
+                                     ).at[rows, hist].set(True)
+                    scores = jnp.where(mask, NEG_INF, scores)
+                    scores = scores.at[:, 0].set(NEG_INF)   # PAD item
+                    return masked_topk(scores, k)
+
+                fn = jax.jit(fn)
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def _hist_rows(self, uids: np.ndarray, width: int | None = None
+                   ) -> np.ndarray:
+        lens = self._hist_indptr[uids + 1] - self._hist_indptr[uids]
+        width = int(width if width is not None else max(lens.max(), 1))
+        out = np.zeros((len(uids), width), dtype=np.int64)   # PAD 0
+        for b, u in enumerate(uids):
+            s, e = self._hist_indptr[u], self._hist_indptr[u + 1]
+            out[b, :e - s] = self._hist_items[s:e]
+        return out
+
+    # .. public ..
+
+    def resolve_users(self, users) -> np.ndarray:
+        """External tokens (or ints matching tokens) → internal ids."""
+        uids = []
+        for u in users:
+            tok = str(u)
+            if tok not in self._token2uid:
+                raise KeyError(f"unknown user token {tok!r}")
+            uids.append(self._token2uid[tok])
+        return np.asarray(uids, dtype=np.int64)
+
+    def recommend(self, users, k: int = 10, mask_history: bool = True,
+                  return_tokens: bool = True):
+        """Top-``k`` items per user.
+
+        ``users``: external tokens (the production interface).  Returns
+        ``(items, scores)`` — items as token lists when
+        ``return_tokens`` else internal id arrays.
+        """
+        uids = self.resolve_users(users)
+        n = len(uids)
+        b = self._bucket(n)
+        # history width also buckets (pow2) so jit keys stay bounded
+        lens = self._hist_indptr[uids + 1] - self._hist_indptr[uids]
+        w = 1
+        while w < max(int(lens.max()), 1):
+            w <<= 1
+        hist = (self._hist_rows(uids, w) if mask_history
+                else np.zeros((n, 1), dtype=np.int64))
+        pu = np.zeros(b, dtype=np.int64)
+        pu[:n] = uids
+        ph = np.zeros((b, hist.shape[1]), dtype=np.int64)
+        ph[:n] = hist
+        vals, idx = self._scorer(b, k)(
+            pu, ph, self.item_table, self.user_table)
+        vals = np.asarray(vals)[:n]
+        idx = np.asarray(idx)[:n]
+        if return_tokens:
+            items = [[str(self.item_tokens[j]) for j in row] for row in idx]
+            return items, vals
+        return idx, vals
+
+
+# -- minimal stdlib HTTP endpoint ----------------------------------------
+
+def make_http_server(server: RecServer, host: str = "127.0.0.1",
+                     port: int = 8080):
+    """ThreadingHTTPServer wrapping ``server.recommend``.
+
+    POST /recommend  body {"users": [...], "k": 10,
+                           "mask_history": true}
+      → {"users": [...], "items": [[...]], "scores": [[...]]}
+    GET /healthz → {"status": "ok", "model": ..., "n_items": ...}
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok",
+                                 "model": server.meta["model"],
+                                 "dataset": server.meta["dataset"],
+                                 "n_users": server.n_users,
+                                 "n_items": server.n_items})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/recommend":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                items, scores = server.recommend(
+                    req["users"], k=int(req.get("k", 10)),
+                    mask_history=bool(req.get("mask_history", True)))
+                self._send(200, {"users": [str(u) for u in req["users"]],
+                                 "items": items,
+                                 "scores": [[float(v) for v in row]
+                                            for row in scores]})
+            except KeyError as e:
+                self._send(400, {"error": f"unknown user or missing "
+                                          f"field: {e}"})
+            except Exception as e:   # serving endpoint: never crash
+                self._send(500, {"error": str(e)})
+
+        def log_message(self, *a):   # quiet by default
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+# -- CLI ------------------------------------------------------------------
+
+def _build_config(args):
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.config.config import parse_cli
+    return Config(model=args.model, dataset=args.dataset,
+                  config_file_list=args.config_files,
+                  config_dict=parse_cli(args.params or []))
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(prog="recbole_gnn_tpu.serve")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("export", help="export serving artifact")
+    ex.add_argument("-m", "--model", required=True)
+    ex.add_argument("-d", "--dataset", required=True)
+    ex.add_argument("--config_files", nargs="*", default=None)
+    ex.add_argument("--checkpoint", default=None)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--mask_splits", choices=("all", "train"), default="all")
+
+    q = sub.add_parser("query", help="one-shot top-k query")
+    q.add_argument("--artifact", required=True)
+    q.add_argument("--users", nargs="+", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--mesh_shape", default=None)
+
+    h = sub.add_parser("http", help="serve over HTTP")
+    h.add_argument("--artifact", required=True)
+    h.add_argument("--host", default="127.0.0.1")
+    h.add_argument("--port", type=int, default=8080)
+    h.add_argument("--mesh_shape", default=None)
+
+    args, extra = ap.parse_known_args(argv)
+    if args.cmd != "export" and extra:
+        ap.error(f"unrecognized arguments: {' '.join(extra)}")
+    args.params = extra   # export: --key=value config overrides (run.py style)
+    if args.cmd == "export":
+        out = export_artifact(_build_config(args), args.out,
+                              checkpoint_path=args.checkpoint,
+                              mask_splits=args.mask_splits)
+        print(f"wrote {out}")
+    elif args.cmd == "query":
+        srv = RecServer(args.artifact, mesh_shape=args.mesh_shape)
+        items, scores = srv.recommend(args.users, k=args.k)
+        for u, row, vs in zip(args.users, items, scores):
+            pairs = ", ".join(f"{t}:{v:.3f}" for t, v in zip(row, vs))
+            print(f"{u}: {pairs}")
+    elif args.cmd == "http":
+        srv = RecServer(args.artifact, mesh_shape=args.mesh_shape)
+        httpd = make_http_server(srv, args.host, args.port)
+        print(f"serving {srv.meta['model']}/{srv.meta['dataset']} on "
+              f"http://{args.host}:{args.port}")
+        httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

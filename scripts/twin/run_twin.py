@@ -47,13 +47,13 @@ from twin.torch_models import (  # noqa: E402
 SEED = 2020
 
 
-def _framework_pipeline(model_name, epochs):
+def _framework_pipeline(model_name, epochs, extra_cfg=None):
     from conftest import base_config_dict
     from recbole_gnn_tpu.config import Config
     from recbole_gnn_tpu.quick_start import (
         create_dataset, data_preparation)
     cfg_dict = base_config_dict(model=model_name, epochs=epochs, seed=SEED,
-                                state="ERROR")
+                                state="ERROR", **(extra_cfg or {}))
     config = Config(config_dict=cfg_dict)
     ds = create_dataset(config)
     splits = data_preparation(config, ds)
@@ -108,10 +108,10 @@ def _eval_sequential(model, loader, ks=(10,)):
     return {k: v / wsum for k, v in sums.items()}
 
 
-def train_twin(model_name, epochs):
+def train_twin(model_name, epochs, extra_cfg=None, eval_every=1):
     torch.manual_seed(SEED)
     np.random.seed(SEED)
-    config, splits = _framework_pipeline(model_name, epochs)
+    config, splits = _framework_pipeline(model_name, epochs, extra_cfg)
     (train_loader, train_ds), _, (test_loader, _) = splits
     lr = float(config["learning_rate"] or 1e-3)
     is_seq = model_name in ("SRGNN", "GCEGNN")
@@ -158,6 +158,8 @@ def train_twin(model_name, epochs):
             loss = model.loss(tb)
             loss.backward()
             opt.step()
+        if (ep + 1) % eval_every and ep + 1 != epochs:
+            continue
         res = (_eval_sequential if is_seq else _eval_general)(
             model, test_loader)
         curve.append({k: round(float(v), 4) for k, v in res.items()})
@@ -167,10 +169,11 @@ def train_twin(model_name, epochs):
     return curve
 
 
-def train_framework(model_name, epochs):
+def train_framework(model_name, epochs, extra_cfg=None):
     from conftest import base_config_dict
     from recbole_gnn_tpu.quick_start import objective_function
-    cfg = base_config_dict(model=model_name, epochs=epochs, seed=SEED)
+    cfg = base_config_dict(model=model_name, epochs=epochs, seed=SEED,
+                           **(extra_cfg or {}))
     res = objective_function(config_dict=cfg, saved=False)
     return {k: round(float(v), 4) for k, v in res["test_result"].items()}
 
