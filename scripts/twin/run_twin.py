@@ -42,7 +42,7 @@ jax.config.update("jax_platforms", "cpu")
 
 from twin.torch_models import (  # noqa: E402
     TwinGCEGNN, TwinLightGCN, TwinNGCF, TwinSGL, TwinSimGCL, TwinSRGNN,
-    TwinSSL4Rec, sym_norm_adj)
+    TwinSSL4Rec, TwinXSimGCL, sym_norm_adj)
 
 SEED = 2020
 
@@ -137,6 +137,9 @@ def train_twin(model_name, epochs, extra_cfg=None, eval_every=1):
                             users, items)
         elif model_name == "SimGCL":
             model = TwinSimGCL(train_ds.n_users, train_ds.n_items, config, adj)
+        elif model_name == "XSimGCL":
+            model = TwinXSimGCL(train_ds.n_users, train_ds.n_items, config,
+                                adj)
         else:
             raise ValueError(model_name)
 

@@ -286,6 +286,57 @@ class TwinSimGCL(TwinLightGCN):
         return mf + self.reg_weight * reg + self.cl_rate * cl
 
 
+class TwinXSimGCL(TwinSimGCL):
+    """reference xsimgcl.py — ONE perturbed forward; the layer mean
+    (layer 0 EXCLUDED, like SimGCL) is also what BPR trains on; the CL
+    view is the perturbed layer-``layer_cl`` embedding; CL is
+    MEAN-reduced (xsimgcl.py calculate_cl_loss) unlike SimGCL's sum."""
+
+    def __init__(self, n_users, n_items, cfg, adj):
+        super().__init__(n_users, n_items, cfg, adj)
+        self.layer_cl = int(cfg["layer_cl"])
+
+    def _fwd_x(self, perturbed=False):
+        x = torch.cat([self.user_embedding.weight,
+                       self.item_embedding.weight])
+        x_cl = x
+        outs = []
+        for li in range(self.n_layers):
+            x = torch.sparse.mm(self.adj, x)
+            if perturbed:
+                noise = F.normalize(torch.rand_like(x), dim=-1)
+                x = x + torch.sign(x) * noise * self.eps
+            outs.append(x)
+            if li == self.layer_cl - 1:
+                x_cl = x
+        final = torch.stack(outs, 1).mean(1)
+        return (final[:self.n_users], final[self.n_users:],
+                x_cl[:self.n_users], x_cl[self.n_users:])
+
+    def propagate(self):
+        ua, ia, _, _ = self._fwd_x(False)
+        return ua, ia
+
+    def _cl_mean(self, x1, x2):
+        x1, x2 = F.normalize(x1, dim=-1), F.normalize(x2, dim=-1)
+        pos = torch.exp((x1 * x2).sum(-1) / self.temperature)
+        den = torch.exp(x1 @ x2.T / self.temperature).sum(1)
+        return -torch.log(pos / den).mean()
+
+    def loss(self, batch):
+        u, p, n = batch["user_id"], batch["item_id"], batch["neg_item_id"]
+        ua, ia, ua_cl, ia_cl = self._fwd_x(perturbed=True)
+        ue, pe, ne = ua[u], ia[p], ia[n]   # BPR on the PERTURBED mean
+        mf = bpr_loss((ue * pe).sum(-1), (ue * ne).sum(-1))
+        reg = emb_loss([self.user_embedding(u), self.item_embedding(p),
+                        self.item_embedding(n)], len(u),
+                       require_pow=self.require_pow)
+        uu, pu = torch.unique(u), torch.unique(p)
+        cl = (self._cl_mean(ua[uu], ua_cl[uu]) +
+              self._cl_mean(ia[pu], ia_cl[pu]))
+        return mf + self.reg_weight * reg + self.cl_rate * cl
+
+
 class TwinSRGNN(nn.Module):
     """reference srgnn.py:53-122 + layers.py SRGNNConv/SRGNNCell:71-114.
 

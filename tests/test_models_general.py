@@ -128,3 +128,24 @@ def test_lightgcl_sparse_matches_dense_forward():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(idn), np.asarray(isp),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_sgl_bf16_activations_quality():
+    """activation_dtype: bfloat16 (the single-chip memory lever for
+    web-scale SGL — results/gowalla.md) must track f32 metrics on the
+    fixture: same pipeline/seed, 3 epochs, small absolute band."""
+    f32 = quick_test({"model": "SGL", "epochs": 3, "seed": 2020})
+    bf16 = quick_test({"model": "SGL", "epochs": 3, "seed": 2020,
+                       "activation_dtype": "bfloat16"})
+    for k in ("ndcg@10", "recall@10"):
+        assert abs(f32["test_result"][k] - bf16["test_result"][k]) < 0.02
+
+
+def test_sgl_bf16_sparse_path_quality():
+    f32 = quick_test({"model": "SGL", "epochs": 3, "seed": 2020,
+                      "enable_sparse": True})
+    bf16 = quick_test({"model": "SGL", "epochs": 3, "seed": 2020,
+                       "enable_sparse": True,
+                       "activation_dtype": "bfloat16"})
+    for k in ("ndcg@10", "recall@10"):
+        assert abs(f32["test_result"][k] - bf16["test_result"][k]) < 0.02
