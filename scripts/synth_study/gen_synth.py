@@ -147,6 +147,75 @@ def generate(out_dir: str,
     }
 
 
+def generate_sessions(out_dir: str,
+                      name: str = "synthseq",
+                      n_sessions: int = 30_000,
+                      n_items: int = 2_000,
+                      latent_dim: int = 16,
+                      beta_seq: float = 8.0,
+                      beta_intent: float = 4.0,
+                      pop_alpha: float = 0.6,
+                      seed: int = SEED + 1) -> dict:
+    """Session-style dataset for the SEQUENTIAL family study.
+
+    The general-study generator plants per-USER low-rank structure over
+    long histories — the wrong regime for session recommenders, whose
+    benchmarks (diginetica: ~5-item anonymous sessions) reward
+    next-item transition structure.  Here each "user" is one short
+    session (3–12 items): a seed item sets the session intent
+    (z = v_seed), and each next item is a Gumbel-max sample of
+      beta_seq * <v_prev, v_i> + beta_intent * <z, v_i>
+      - pop_alpha * log(rank_i)
+    without replacement.  Strong first-order Markov signal + intent
+    coherence + zipf popularity — the structure SRGNN-family models
+    are built to exploit.
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    V = rng.normal(size=(n_items, latent_dim)) / np.sqrt(latent_dim)
+    rank = rng.permutation(n_items) + 1
+    pop_logit = -pop_alpha * np.log(rank)
+    lens = rng.integers(3, 13, size=n_sessions)
+    max_len = int(lens.max())
+
+    # seed items by popularity
+    g = rng.gumbel(size=(n_sessions, n_items))
+    seed_items = np.argmax(pop_logit[None, :] + g, axis=1)
+    prev = seed_items.copy()
+    intent = V[seed_items]          # (S, d)
+    chosen = np.zeros((n_sessions, n_items), dtype=bool)
+    chosen[np.arange(n_sessions), seed_items] = True
+    seqs = [[int(i)] for i in seed_items]
+    for t in range(1, max_len):
+        active = lens > t
+        if not active.any():
+            break
+        logits = (beta_seq * (V[prev[active]] @ V.T)
+                  + beta_intent * (intent[active] @ V.T)
+                  + pop_logit[None, :])
+        logits[chosen[active]] = -1e30
+        pick = _softmax_gumbel_pick(logits, rng)
+        act_idx = np.nonzero(active)[0]
+        chosen[act_idx, pick] = True
+        prev[act_idx] = pick
+        for si, it in zip(act_idx, pick):
+            seqs[si].append(int(it))
+
+    t0 = 880_000_000
+    inter_path = os.path.join(out_dir, f"{name}.inter")
+    with open(inter_path, "w") as f:
+        # sessions ride the user_id column (a session IS the "user" to
+        # the sequential pipeline — no extra config keys needed)
+        f.write("user_id:token\titem_id:token\ttimestamp:float\n")
+        for s in range(n_sessions):
+            times = t0 + np.cumsum(rng.integers(10, 600, size=len(seqs[s])))
+            for it, ts in zip(seqs[s], times):
+                f.write(f"{s + 1}\t{it + 1}\t{ts}\n")
+    n_rows = int(lens.sum())
+    return {"n_sessions": n_sessions, "n_items": n_items,
+            "n_inter": n_rows, "inter_path": inter_path}
+
+
 if __name__ == "__main__":
     import argparse
     ap = argparse.ArgumentParser()

@@ -130,9 +130,13 @@ REF_NDCG = {
 
 
 def _cfg(model, data, epochs, **over):
+    # sequential models study the session-style dataset (short Markov
+    # sessions — the diginetica regime); everything else the
+    # user-history one
+    ds_name = "synthseq" if model in SEQUENTIAL else "synth"
     cfg = {
         "model": model,
-        "dataset": "synth",
+        "dataset": ds_name,
         "data_path": data,
         "epochs": epochs,
         "seed": SEED,
@@ -205,6 +209,10 @@ def main():
     synth_dir = os.path.join(args.data, "synth")
     if not os.path.exists(os.path.join(synth_dir, "synth.inter")):
         print(generate(synth_dir), flush=True)
+    seq_dir = os.path.join(args.data, "synthseq")
+    if not os.path.exists(os.path.join(seq_dir, "synthseq.inter")):
+        from gen_synth import generate_sessions
+        print(generate_sessions(seq_dir), flush=True)
 
     state = {"framework": {}, "twin": {}, "meta": {
         "seed": SEED, "epochs_general": args.epochs_general,

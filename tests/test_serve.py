@@ -117,3 +117,17 @@ def test_sequential_export_rejected():
     config = Config(config_dict=cfg)
     with pytest.raises(ValueError, match="sequential"):
         export_artifact(config, "/tmp/never.npz")
+
+
+def test_mesh_serving_matches_single_device(artifact):
+    """Item-sharded distributed top-k serving (mesh_shape={'tp': 8} on
+    the CPU test mesh) must return the same recommendations as the
+    single-device path, including the catalog pad-to-shard handling
+    (fixture catalog is not divisible by 8)."""
+    srv1 = RecServer(artifact)
+    srv8 = RecServer(artifact, mesh_shape={"tp": 8})
+    assert srv8.item_table.shape[0] % 8 == 0
+    users = [str(srv1.user_tokens[u]) for u in (1, 2, 3, 5, 8)]
+    i1, _ = srv1.recommend(users, k=10, return_tokens=False)
+    i8, _ = srv8.recommend(users, k=10, return_tokens=False)
+    assert np.array_equal(np.asarray(i1), np.asarray(i8))
