@@ -120,7 +120,7 @@ class SequentialRecommender(BaseRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.max_seq_len = int(config["MAX_ITEM_LIST_LENGTH"] or 50)
+        self.max_seq_len = int(config.get("MAX_ITEM_LIST_LENGTH", 50))
 
     def full_scores(self, params: Params, consts: Consts, extras: Extras,
                     batch: Batch, rng: jax.Array, train: bool

@@ -24,7 +24,7 @@ class BPR(BaseRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.embedding_size = int(config["embedding_size"] or 64)
+        self.embedding_size = int(config.get("embedding_size", 64))
 
     def init_params(self, rng):
         ku, ki = jax.random.split(rng)

@@ -23,12 +23,12 @@ class DirectAU(GeneralGraphRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.embedding_size = int(config["embedding_size"] or 64)
-        self.gamma = float(config["gamma"] or 0.5)
+        self.embedding_size = int(config.get("embedding_size", 64))
+        self.gamma = float(config.get("gamma", 0.5))
         self.encoder_name = str(config["encoder"] or "MF")
         if self.encoder_name not in ("MF", "LightGCN"):
             raise ValueError(f"Non-implemented encoder {self.encoder_name!r}")
-        self.n_layers = int(config["n_layers"] or 3)
+        self.n_layers = int(config.get("n_layers", 3))
 
     def init_params(self, rng):
         ku, ki = jax.random.split(rng)

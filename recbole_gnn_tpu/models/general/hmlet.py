@@ -35,12 +35,12 @@ class HMLET(LightGCN):
         super().__init__(config, dataset)
         self.gate_layer_ids = list(config["gate_layer_ids"] or [2, 3])
         self.gating_mlp_dims = list(config["gating_mlp_dims"] or [64, 16, 2])
-        self.dropout_ratio = float(config["dropout_ratio"] or 0.2)
+        self.dropout_ratio = float(config.get("dropout_ratio", 0.2))
         self.activation = str(config["activation_function"] or "elu")
-        self.warm_up_epochs = int(config["warm_up_epochs"] or 50)
-        self.ori_temp = float(config["ori_temp"] or 0.7)
-        self.min_temp = float(config["min_temp"] or 0.01)
-        self.gum_temp_decay = float(config["gum_temp_decay"] or 0.005)
+        self.warm_up_epochs = int(config.get("warm_up_epochs", 50))
+        self.ori_temp = float(config.get("ori_temp", 0.7))
+        self.min_temp = float(config.get("min_temp", 0.01))
+        self.gum_temp_decay = float(config.get("gum_temp_decay", 0.005))
 
     def _act(self, x):
         if self.activation == "elu":

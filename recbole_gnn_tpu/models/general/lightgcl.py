@@ -33,19 +33,19 @@ class LightGCL(BaseRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.embed_dim = int(config["embedding_size"] or 64)
-        self.n_layers = int(config["n_layers"] or 2)
-        self.dropout = float(config["dropout"] or 0.0)
-        self.temp = float(config["temp"] or 0.8)
+        self.embed_dim = int(config.get("embedding_size", 64))
+        self.n_layers = int(config.get("n_layers", 2))
+        self.dropout = float(config.get("dropout", 0.0))
+        self.temp = float(config.get("temp", 0.8))
         self.lambda_1 = float(config["lambda1"] or 0.01)
         self.lambda_2 = float(config["lambda2"] or 1e-5)
-        self.q = int(config["q"] or 5)
+        self.q = int(config.get("q", 5))
 
         users, items = dataset.user_item_arrays()
         row_deg = np.bincount(users, minlength=self.n_users).astype(np.float64)
         col_deg = np.bincount(items, minlength=self.n_items).astype(np.float64)
         w = 1.0 / np.sqrt(np.maximum(row_deg[users] * col_deg[items], 1e-12))
-        max_entries = int(config["dense_graph_max_entries"] or 3e8)
+        max_entries = int(config.get("dense_graph_max_entries", 3e8))
         self._dense = (config["enable_sparse"] is not True
                        and self.n_users * self.n_items <= max_entries)
         if self._dense:
@@ -65,7 +65,7 @@ class LightGCL(BaseRecommender):
 
         # rank-q randomized SVD of the normalized adjacency (init-time)
         svd_u, s, svd_v = randomized_svd_sparse(
-            jax.random.PRNGKey(int(config["seed"] or 2020)),
+            jax.random.PRNGKey(int(config.get("seed", 2020))),
             jnp.asarray(users), jnp.asarray(items), jnp.asarray(w, jnp.float32),
             self.n_users, self.n_items, self.q)
         self.consts["u_mul_s"] = svd_u * s[None, :]

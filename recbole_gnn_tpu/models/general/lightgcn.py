@@ -22,9 +22,9 @@ class LightGCN(GeneralGraphRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.latent_dim = int(config["embedding_size"] or 64)
-        self.n_layers = int(config["n_layers"] or 2)
-        self.reg_weight = float(config["reg_weight"] or 1e-5)
+        self.latent_dim = int(config.get("embedding_size", 64))
+        self.n_layers = int(config.get("n_layers", 2))
+        self.reg_weight = float(config.get("reg_weight", 1e-5))
         self.require_pow = bool(config["require_pow"])
 
     def init_params(self, rng):

@@ -32,15 +32,15 @@ class NCL(LightGCN):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.reg_weight = float(config["reg_weight"] or 1e-4)
-        self.ssl_temp = float(config["ssl_temp"] or 0.1)
-        self.ssl_reg = float(config["ssl_reg"] or 1e-7)
-        self.hyper_layers = int(config["hyper_layers"] or 1)
-        self.alpha = float(config["alpha"] or 1.0)
-        self.proto_reg = float(config["proto_reg"] or 8e-8)
-        self.k = int(config["num_clusters"] or 1000)
-        self.m_step = int(config["m_step"] or 1)
-        self.warm_up_step = int(config["warm_up_step"] or 20)
+        self.reg_weight = float(config.get("reg_weight", 1e-4))
+        self.ssl_temp = float(config.get("ssl_temp", 0.1))
+        self.ssl_reg = float(config.get("ssl_reg", 1e-7))
+        self.hyper_layers = int(config.get("hyper_layers", 1))
+        self.alpha = float(config.get("alpha", 1.0))
+        self.proto_reg = float(config.get("proto_reg", 8e-8))
+        self.k = int(config.get("num_clusters", 1000))
+        self.m_step = int(config.get("m_step", 1))
+        self.warm_up_step = int(config.get("warm_up_step", 20))
         self._e_step_jit = None
 
     # -- prototype E-step -------------------------------------------------

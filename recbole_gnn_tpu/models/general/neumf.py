@@ -26,10 +26,10 @@ class NeuMF(BaseRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.mf_size = int(config["mf_embedding_size"] or 64)
-        self.mlp_size = int(config["mlp_embedding_size"] or 64)
+        self.mf_size = int(config.get("mf_embedding_size", 64))
+        self.mlp_size = int(config.get("mlp_embedding_size", 64))
         self.mlp_hidden = list(config["mlp_hidden_size"] or [128, 64])
-        self.dropout_prob = float(config["dropout_prob"] or 0.1)
+        self.dropout_prob = float(config.get("dropout_prob", 0.1))
         self.mf_train = config["mf_train"] is not False
         self.mlp_train = config["mlp_train"] is not False
 

@@ -25,12 +25,12 @@ class NGCF(GeneralGraphRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.embedding_size = int(config["embedding_size"] or 64)
+        self.embedding_size = int(config.get("embedding_size", 64))
         self.hidden_size_list = [self.embedding_size] + list(
             config["hidden_size_list"] or [64, 64, 64])
-        self.node_dropout = float(config["node_dropout"] or 0.0)
-        self.message_dropout = float(config["message_dropout"] or 0.0)
-        self.reg_weight = float(config["reg_weight"] or 1e-5)
+        self.node_dropout = float(config.get("node_dropout", 0.0))
+        self.message_dropout = float(config.get("message_dropout", 0.0))
+        self.reg_weight = float(config.get("reg_weight", 1e-5))
 
     def init_params(self, rng):
         keys = split_keys(rng, 2 + len(self.hidden_size_list) - 1)

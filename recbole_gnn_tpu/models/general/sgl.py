@@ -30,13 +30,13 @@ class SGL(GeneralGraphRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.latent_dim = int(config["embedding_size"] or 64)
-        self.n_layers = int(config["n_layers"] or 3)
+        self.latent_dim = int(config.get("embedding_size", 64))
+        self.n_layers = int(config.get("n_layers", 3))
         self.aug_type = str(config["type"] or "ED")
-        self.drop_ratio = float(config["drop_ratio"] or 0.1)
-        self.ssl_tau = float(config["ssl_tau"] or 0.5)
-        self.reg_weight = float(config["reg_weight"] or 1e-5)
-        self.ssl_weight = float(config["ssl_weight"] or 0.05)
+        self.drop_ratio = float(config.get("drop_ratio", 0.1))
+        self.ssl_tau = float(config.get("ssl_tau", 0.5))
+        self.reg_weight = float(config.get("reg_weight", 1e-5))
+        self.ssl_weight = float(config.get("ssl_weight", 0.05))
         # activation_dtype: bfloat16 halves the three propagations'
         # (n_nodes, D) activations + cotangents — the batch-independent
         # footprint that keeps f32 SGL off one 16 GiB chip at web scale

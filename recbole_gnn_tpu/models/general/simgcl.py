@@ -21,9 +21,9 @@ class SimGCL(LightGCN):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.cl_rate = float(config["lambda"] or 0.5)
-        self.eps = float(config["eps"] or 0.1)
-        self.temperature = float(config["temperature"] or 0.2)
+        self.cl_rate = float(config.get("lambda", 0.5))
+        self.eps = float(config.get("eps", 0.1))
+        self.temperature = float(config.get("temperature", 0.2))
 
     def _forward_noise(self, params, consts, rng, perturbed: bool):
         graph = consts["graph"]

@@ -26,11 +26,11 @@ class SSL4REC(BaseRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.emb_size = int(config["embedding_size"] or 64)
-        self.tau = float(config["tau"] or 0.1)
-        self.reg_weight = float(config["reg_weight"] or 1e-4)
-        self.cl_rate = float(config["ssl_weight"] or 1e-5)
-        self.drop_ratio = float(config["drop_ratio"] or 0.1)
+        self.emb_size = int(config.get("embedding_size", 64))
+        self.tau = float(config.get("tau", 0.1))
+        self.reg_weight = float(config.get("reg_weight", 1e-4))
+        self.cl_rate = float(config.get("ssl_weight", 1e-5))
+        self.drop_ratio = float(config.get("drop_ratio", 0.1))
         self.require_pow = bool(config["require_pow"])
 
     def init_params(self, rng):

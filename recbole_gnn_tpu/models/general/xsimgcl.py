@@ -21,10 +21,10 @@ class XSimGCL(LightGCN):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.cl_rate = float(config["lambda"] or 0.1)
-        self.eps = float(config["eps"] or 0.2)
-        self.temperature = float(config["temperature"] or 0.2)
-        self.layer_cl = int(config["layer_cl"] or 1)
+        self.cl_rate = float(config.get("lambda", 0.1))
+        self.eps = float(config.get("eps", 0.2))
+        self.temperature = float(config.get("temperature", 0.2))
+        self.layer_cl = int(config.get("layer_cl", 1))
 
     def _forward(self, params, consts, rng, perturbed: bool):
         graph = consts["graph"]

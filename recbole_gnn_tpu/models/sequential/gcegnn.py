@@ -29,14 +29,14 @@ class GCEGNN(SequentialRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.embedding_size = int(config["embedding_size"] or 64)
-        self.leakyrelu_alpha = float(config["leakyrelu_alpha"] or 0.2)
-        self.dropout_local = float(config["dropout_local"] or 0.0)
-        self.dropout_global = float(config["dropout_global"] or 0.5)
-        self.dropout_gcn = float(config["dropout_gcn"] or 0.0)
+        self.embedding_size = int(config.get("embedding_size", 64))
+        self.leakyrelu_alpha = float(config.get("leakyrelu_alpha", 0.2))
+        self.dropout_local = float(config.get("dropout_local", 0.0))
+        self.dropout_global = float(config.get("dropout_global", 0.5))
+        self.dropout_gcn = float(config.get("dropout_gcn", 0.0))
         self.loss_type = str(config["loss_type"] or "CE")
-        self.sample_num = int(config["sample_num"] or 12)
-        self.hop = int(config["hop"] or 1)
+        self.sample_num = int(config.get("sample_num", 12))
+        self.hop = int(config.get("hop", 1))
         if config["build_global_graph"] is not False:
             adj, w = self._construct_global_graph(dataset)
             self.consts["global_adj"] = jnp.asarray(adj)

@@ -26,17 +26,17 @@ class GCSAN(SequentialRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.n_layers = int(config["n_layers"] or 1)
-        self.n_heads = int(config["n_heads"] or 1)
-        self.hidden_size = int(config["hidden_size"] or 64)
-        self.inner_size = int(config["inner_size"] or 256)
-        self.hidden_dropout_prob = float(config["hidden_dropout_prob"] or 0.2)
-        self.attn_dropout_prob = float(config["attn_dropout_prob"] or 0.2)
-        self.step = int(config["step"] or 1)
-        self.weight = float(config["weight"] or 0.6)
-        self.reg_weight = float(config["reg_weight"] or 5e-5)
+        self.n_layers = int(config.get("n_layers", 1))
+        self.n_heads = int(config.get("n_heads", 1))
+        self.hidden_size = int(config.get("hidden_size", 64))
+        self.inner_size = int(config.get("inner_size", 256))
+        self.hidden_dropout_prob = float(config.get("hidden_dropout_prob", 0.2))
+        self.attn_dropout_prob = float(config.get("attn_dropout_prob", 0.2))
+        self.step = int(config.get("step", 1))
+        self.weight = float(config.get("weight", 0.6))
+        self.reg_weight = float(config.get("reg_weight", 5e-5))
         self.loss_type = str(config["loss_type"] or "CE")
-        self.initializer_range = float(config["initializer_range"] or 0.02)
+        self.initializer_range = float(config.get("initializer_range", 0.02))
 
     def init_params(self, rng):
         k1, k2, k3 = split_keys(rng, 3)

@@ -21,10 +21,10 @@ class GRU4Rec(SequentialRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.embedding_size = int(config["embedding_size"] or 64)
-        self.hidden_size = int(config["hidden_size"] or 128)
-        self.num_layers = int(config["num_layers"] or 1)
-        self.dropout_prob = float(config["dropout_prob"] or 0.3)
+        self.embedding_size = int(config.get("embedding_size", 64))
+        self.hidden_size = int(config.get("hidden_size", 128))
+        self.num_layers = int(config.get("num_layers", 1))
+        self.dropout_prob = float(config.get("dropout_prob", 0.3))
         self.loss_type = str(config["loss_type"] or "CE")
 
     def init_params(self, rng):

@@ -56,10 +56,10 @@ class LESSR(SequentialRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.embedding_size = int(config["embedding_size"] or 64)
-        self.num_layers = int(config["n_layers"] or 4)
+        self.embedding_size = int(config.get("embedding_size", 64))
+        self.num_layers = int(config.get("n_layers", 4))
         self.batch_norm = config["batch_norm"] is not False
-        self.feat_drop = float(config["feat_drop"] or 0.2)
+        self.feat_drop = float(config.get("feat_drop", 0.2))
         self.loss_type = str(config["loss_type"] or "CE")
         if self.loss_type != "CE":
             raise NotImplementedError("LESSR supports CE only")

@@ -22,9 +22,9 @@ class NARM(SequentialRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.embedding_size = int(config["embedding_size"] or 64)
-        self.hidden_size = int(config["hidden_size"] or 128)
-        self.n_layers = int(config["n_layers"] or 1)
+        self.embedding_size = int(config.get("embedding_size", 64))
+        self.hidden_size = int(config.get("hidden_size", 128))
+        self.n_layers = int(config.get("n_layers", 1))
         dp = config["dropout_probs"] or [0.25, 0.5]
         self.emb_dropout, self.ct_dropout = float(dp[0]), float(dp[1])
         self.loss_type = str(config["loss_type"] or "CE")

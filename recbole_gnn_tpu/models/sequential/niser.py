@@ -32,10 +32,10 @@ class NISER(SequentialRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.embedding_size = int(config["embedding_size"] or 64)
-        self.step = int(config["step"] or 1)
-        self.sigma = float(config["sigma"] or 16.0)
-        self.item_dropout = float(config["item_dropout"] or 0.1)
+        self.embedding_size = int(config.get("embedding_size", 64))
+        self.step = int(config.get("step", 1))
+        self.sigma = float(config.get("sigma", 16.0))
+        self.item_dropout = float(config.get("item_dropout", 0.1))
         self.loss_type = str(config["loss_type"] or "CE")
 
     def init_params(self, rng):

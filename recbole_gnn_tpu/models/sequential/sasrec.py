@@ -22,13 +22,13 @@ class SASRec(SequentialRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.n_layers = int(config["n_layers"] or 2)
-        self.n_heads = int(config["n_heads"] or 2)
-        self.hidden_size = int(config["hidden_size"] or 64)
-        self.inner_size = int(config["inner_size"] or 256)
-        self.hidden_dropout_prob = float(config["hidden_dropout_prob"] or 0.5)
-        self.attn_dropout_prob = float(config["attn_dropout_prob"] or 0.5)
-        self.initializer_range = float(config["initializer_range"] or 0.02)
+        self.n_layers = int(config.get("n_layers", 2))
+        self.n_heads = int(config.get("n_heads", 2))
+        self.hidden_size = int(config.get("hidden_size", 64))
+        self.inner_size = int(config.get("inner_size", 256))
+        self.hidden_dropout_prob = float(config.get("hidden_dropout_prob", 0.5))
+        self.attn_dropout_prob = float(config.get("attn_dropout_prob", 0.5))
+        self.initializer_range = float(config.get("initializer_range", 0.02))
         self.loss_type = str(config["loss_type"] or "CE")
 
     def init_params(self, rng):

@@ -60,9 +60,9 @@ class SGNNHN(SequentialRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.embedding_size = int(config["embedding_size"] or 64)
-        self.step = int(config["step"] or 6)
-        self.scale = float(config["scale"] or 12.0)
+        self.embedding_size = int(config.get("embedding_size", 64))
+        self.step = int(config.get("step", 6))
+        self.scale = float(config.get("scale", 12.0))
         self.loss_type = str(config["loss_type"] or "CE")
 
     def init_params(self, rng):

@@ -29,7 +29,7 @@ def to_device_matrix(m, config, force_sparse: bool = False):
 
     m = sp.coo_matrix(m)
     n_rows, n_cols = m.shape
-    max_entries = int(config["dense_graph_max_entries"] or 3e8)
+    max_entries = int(config.get("dense_graph_max_entries", 3e8))
     use_dense = (not force_sparse
                  and config["enable_sparse"] is not True
                  and n_rows * n_cols <= max_entries)

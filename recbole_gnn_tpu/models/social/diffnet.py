@@ -23,9 +23,9 @@ class DiffNet(SocialRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.embedding_size = int(config["embedding_size"] or 64)
-        self.n_layers = int(config["n_layers"] or 2)
-        self.reg_weight = float(config["reg_weight"] or 1e-5)
+        self.embedding_size = int(config.get("embedding_size", 64))
+        self.n_layers = int(config.get("n_layers", 2))
+        self.reg_weight = float(config.get("reg_weight", 1e-5))
         self.pretrained_review = bool(config["pretrained_review"])
         if self.pretrained_review:
             # frozen review embeddings with distribution rescale

@@ -33,10 +33,10 @@ class MHCN(SocialRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.embedding_size = int(config["embedding_size"] or 64)
-        self.n_layers = int(config["n_layers"] or 2)
-        self.ssl_reg = float(config["ssl_reg"] or 1e-5)
-        self.reg_weight = float(config["reg_weight"] or 1e-5)
+        self.embedding_size = int(config.get("embedding_size", 64))
+        self.n_layers = int(config.get("n_layers", 2))
+        self.ssl_reg = float(config.get("ssl_reg", 1e-5))
+        self.reg_weight = float(config.get("reg_weight", 1e-5))
 
         from recbole_gnn_tpu.models.social.common import to_device_matrix
 

@@ -36,14 +36,14 @@ class SEPT(SocialRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.latent_dim = int(config["embedding_size"] or 64)
-        self.n_layers = int(config["n_layers"] or 2)
-        self.drop_ratio = float(config["drop_ratio"] or 0.3)
-        self.instance_cnt = int(config["instance_cnt"] or 10)
-        self.reg_weight = float(config["reg_weight"] or 1e-5)
-        self.ssl_weight = float(config["ssl_weight"] or 1e-7)
-        self.ssl_tau = float(config["ssl_tau"] or 0.1)
-        self.warm_up_epochs = int(config["warm_up_epochs"] or 100)
+        self.latent_dim = int(config.get("embedding_size", 64))
+        self.n_layers = int(config.get("n_layers", 2))
+        self.drop_ratio = float(config.get("drop_ratio", 0.3))
+        self.instance_cnt = int(config.get("instance_cnt", 10))
+        self.reg_weight = float(config.get("reg_weight", 1e-5))
+        self.ssl_weight = float(config.get("ssl_weight", 1e-7))
+        self.ssl_tau = float(config.get("ssl_tau", 0.1))
+        self.warm_up_epochs = int(config.get("warm_up_epochs", 100))
 
         # preference view: joint sym-normalized U-I adjacency
         self.consts["graph"] = dataset.get_norm_adj_graph()
