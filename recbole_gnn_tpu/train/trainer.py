@@ -352,7 +352,15 @@ class Trainer:
                                    best_score, best_epoch)
                 else:
                     cur_step += 1
-                    if cur_step >= self.stopping_step:
+                    # stopping_min_epochs (net-new knob): contrastive
+                    # models whose training metric dips mid-run (e.g.
+                    # XSimGCL's perturbed-BPR valid dip, measured in
+                    # results/synth_quality.md) can trip the patience
+                    # window long before convergence; this floor keeps
+                    # early stopping armed but not live until epoch N
+                    min_ep = int(cfg["stopping_min_epochs"] or 0)
+                    if cur_step >= self.stopping_step and \
+                            epoch + 1 >= min_ep:
                         if verbose:
                             self.logger.info(
                                 f"early stop at epoch {epoch} "

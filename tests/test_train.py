@@ -334,3 +334,32 @@ def test_epoch_scan_matches_per_step():
                                    rtol=1e-5, atol=1e-7, err_msg=f"chunked {k}")
         np.testing.assert_allclose(results[0][k], results[2][k],
                                    rtol=1e-5, atol=1e-7, err_msg=f"per-step {k}")
+
+
+def test_stopping_min_epochs_floor():
+    """Early stopping must not fire before stopping_min_epochs even
+    when the patience window is exhausted (round-5 knob; the XSimGCL
+    valid-dip artifact in results/synth_quality.md)."""
+    from recbole_gnn_tpu.quick_start import (
+        create_dataset, data_preparation)
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.train.trainer import Trainer
+    from conftest import base_config_dict
+
+    def run(min_ep):
+        cfg = Config(config_dict=base_config_dict(
+            model="LightGCN", epochs=12, seed=2020,
+            stopping_step=1, stopping_min_epochs=min_ep,
+            # a huge lr makes the valid metric non-improving fast
+            learning_rate=10.0))
+        ds = create_dataset(cfg)
+        (tr, tr_ds), (va, _), _ = data_preparation(cfg, ds)
+        t = Trainer(cfg, get_model("LightGCN")(cfg, tr_ds))
+        t.fit(tr, va, saved=False, verbose=False)
+        return len(t.train_timings)
+
+    short = run(0)
+    floored = run(8)
+    assert floored >= 8, floored
+    assert short < 8, short   # sanity: without the floor it stops early
