@@ -1,0 +1,201 @@
+"""Round-5 capstone: train-to-convergence at the north-star shape on
+structured data, end to end, on one v5e.
+
+The round-4 gowalla timing runs used a popularity-only synth (nothing
+personalized to learn); this run uses scripts/synth_study/gen_northstar
+(100k x 1.3M x 6M with planted cluster-CF structure) and demonstrates
+the full production lifecycle at BASELINE.json config #5 scale:
+
+  gen        deterministic dataset (O(N) sampling)
+  pop        unpersonalized popularity baseline on the SAME split /
+             masking / metric conventions (numpy replication of
+             eval/metrics.py + FullSortEvalLoader semantics) — the
+             floor any CF model must clear
+  lightgcn   LightGCN 3-layer d64, ELL sparse path, B=65536,
+             epoch_scan + eval_scan, early stopping on NDCG@10
+  bpr        same recipe, no graph propagation (isolates what graph
+             smoothing buys at this scale)
+  export     serving artifact from the best LightGCN checkpoint +
+             sample recommends (RecServer at the 1.3M catalog)
+
+Usage: python scripts/diag/r5_northstar_converge.py [stage ...]
+       (default: all stages in order)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+DATA_DIR = "/tmp/synth_data"
+NAME = "northstar"
+CKPT_DIR = "/tmp/rgt_northstar"
+OUT_JSON = "/tmp/rgt_northstar/summary.json"
+
+BASE_CFG = {
+    "data_path": DATA_DIR,
+    "load_col": {"inter": ["user_id", "item_id", "timestamp"]},
+    "checkpoint_dir": CKPT_DIR,
+    "metrics": ["Recall", "MRR", "NDCG", "Hit", "Precision"],
+    "topk": [10, 20],
+    "valid_metric": "NDCG@10",
+    "train_batch_size": 65536,
+    "eval_batch_size": 256,
+    "epochs": 32,
+    "eval_step": 4,
+    "stopping_step": 2,        # 2 eval rounds = 8 epochs patience
+    "epoch_scan": 64,
+    "eval_scan": 32,
+    "state": "INFO",
+}
+
+
+def _summary_update(key, value):
+    os.makedirs(CKPT_DIR, exist_ok=True)
+    blob = {}
+    if os.path.exists(OUT_JSON):
+        with open(OUT_JSON) as f:
+            blob = json.load(f)
+    blob[key] = value
+    with open(OUT_JSON, "w") as f:
+        json.dump(blob, f, indent=1, default=float)
+    print(f"[summary] {key}: {json.dumps(value, default=float)[:300]}",
+          flush=True)
+
+
+def stage_gen():
+    from synth_study.gen_northstar import generate
+    t0 = time.time()
+    stats = generate(os.path.join(DATA_DIR, NAME), name=NAME)
+    stats["gen_s"] = round(time.time() - t0, 1)
+    _summary_update("gen", stats)
+
+
+def _splits():
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    cfg = Config(model="BPR", dataset=NAME, config_dict=dict(BASE_CFG))
+    ds = create_dataset(cfg)
+    (_, train_ds), (_, valid_ds), (_, test_ds) = data_preparation(cfg, ds)
+    return train_ds, valid_ds, test_ds
+
+
+def stage_pop():
+    """Popularity floor under the exact test-loader conventions:
+    history = train+valid rows, positives = raw test rows (dups kept
+    in pos_len), PAD item 0 never recommended."""
+    t0 = time.time()
+    train_ds, valid_ds, test_ds = _splits()
+    tr_u, tr_i = train_ds.user_item_arrays()
+    va_u, va_i = valid_ds.user_item_arrays()
+    te_u, te_i = test_ds.user_item_arrays()
+    n_items = train_ds.n_items
+
+    counts = np.bincount(tr_i, minlength=n_items).astype(np.int64)
+    counts[0] = -1                                  # PAD never ranked
+    pop_order = np.argsort(-counts, kind="stable")  # global ranking
+
+    h_u = np.concatenate([tr_u, va_u])
+    h_i = np.concatenate([tr_i, va_i])
+    ho = np.argsort(h_u, kind="stable")
+    h_indptr = np.searchsorted(h_u[ho], np.arange(train_ds.n_users + 1))
+    h_items = h_i[ho]
+    to = np.argsort(te_u, kind="stable")
+    t_indptr = np.searchsorted(te_u[to], np.arange(train_ds.n_users + 1))
+    t_items = te_i[to]
+
+    K = 10
+    disc = 1.0 / np.log2(np.arange(1, K + 1) + 1.0)
+    cum = np.cumsum(disc)
+    eval_users = np.unique(te_u)
+    agg = {m: 0.0 for m in ("recall", "mrr", "ndcg", "hit", "precision")}
+    for u in eval_users:
+        hist = set(h_items[h_indptr[u]:h_indptr[u + 1]])
+        pos_raw = t_items[t_indptr[u]:t_indptr[u + 1]]
+        pos = set(pos_raw)
+        topk, j = [], 0
+        while len(topk) < K:
+            it = pop_order[j]
+            j += 1
+            if it not in hist:
+                topk.append(it)
+        rel = np.array([1.0 if it in pos else 0.0 for it in topk])
+        hits = rel.sum()
+        plen = len(pos_raw)                      # raw count, like loader
+        agg["recall"] += hits / plen
+        agg["precision"] += hits / K
+        agg["hit"] += 1.0 if hits > 0 else 0.0
+        first = int(np.argmax(rel))
+        agg["mrr"] += (1.0 / (first + 1)) if rel.max() > 0 else 0.0
+        idcg = cum[min(plen, K) - 1]
+        agg["ndcg"] += float((rel * disc).sum()) / idcg
+    n = len(eval_users)
+    res = {f"{m}@10": round(v / n, 5) for m, v in agg.items()}
+    res["eval_users"] = int(n)
+    res["wall_s"] = round(time.time() - t0, 1)
+    _summary_update("pop_baseline", res)
+
+
+def _train(model):
+    from recbole_gnn_tpu.quick_start import run_recbole_gnn_tpu
+    cfg = dict(BASE_CFG)
+    if model == "LightGCN":
+        cfg.update({"enable_sparse": True, "n_layers": 3})
+    t0 = time.time()
+    res = run_recbole_gnn_tpu(model=model, dataset=NAME, config_dict=cfg,
+                              verbose=True)
+    out = {
+        "best_valid": {k: float(v) for k, v in
+                       (res["best_valid_result"] or {}).items()},
+        "test": {k: float(v) for k, v in res["test_result"].items()},
+        "wall_s": round(time.time() - t0, 1),
+    }
+    try:
+        import jax
+        ms = jax.local_devices()[0].memory_stats() or {}
+        if ms.get("peak_bytes_in_use"):
+            out["peak_hbm_gib"] = round(ms["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:
+        pass
+    _summary_update(model.lower(), out)
+
+
+def stage_export():
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.serve import RecServer, export_artifact
+    cfg = Config(model="LightGCN", dataset=NAME,
+                 config_dict={**BASE_CFG, "enable_sparse": True,
+                              "n_layers": 3})
+    art = os.path.join(CKPT_DIR, "northstar_lightgcn.npz")
+    t0 = time.time()
+    export_artifact(cfg, art)
+    t_export = time.time() - t0
+    srv = RecServer(art)
+    warm_items, _ = srv.recommend(["1"], k=10)     # compile
+    t0 = time.time()
+    for _ in range(20):
+        srv.recommend(["1", "2", "3", "4"], k=10)
+    p_batch4 = (time.time() - t0) / 20
+    _summary_update("serving", {
+        "artifact_mib": round(os.path.getsize(art) / 2**20, 1),
+        "export_s": round(t_export, 1),
+        "sample_user1_top5": warm_items[0][:5],
+        "batch4_ms": round(p_batch4 * 1e3, 1),
+    })
+
+
+STAGES = {"gen": stage_gen, "pop": stage_pop,
+          "lightgcn": lambda: _train("LightGCN"),
+          "bpr": lambda: _train("BPR"),
+          "export": stage_export}
+
+if __name__ == "__main__":
+    picks = sys.argv[1:] or ["gen", "pop", "lightgcn", "bpr", "export"]
+    for s in picks:
+        print(f"=== stage {s} ===", flush=True)
+        STAGES[s]()
