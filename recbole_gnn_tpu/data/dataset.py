@@ -309,7 +309,7 @@ class Dataset:
         split = eval_args.get("split") or {"RS": [0.8, 0.1, 0.1]}
         order = eval_args.get("order", "RO")
         group_by = eval_args.get("group_by", "user")
-        rng = np.random.default_rng(self.config["seed"] or 2020)
+        rng = np.random.default_rng(self.config.get("seed", 2020))
         idx = self._ordered_indices(order, rng)
 
         if "RS" in split:
@@ -411,7 +411,7 @@ class GeneralGraphDataset(Dataset):
         dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
         w = dinv[src] * dinv[dst]
 
-        max_entries = int(self.config["dense_graph_max_entries"] or 3e8)
+        max_entries = int(self.config.get("dense_graph_max_entries", 3e8))
         use_dense = (not force_sparse
                      and self.config["enable_sparse"] is not True
                      and self.n_users * self.n_items <= max_entries)

@@ -79,7 +79,7 @@ class TrainLoader:
         self.neg_num = int((neg_args or {}).get("sample_num", 1)) if neg_args else 0
         self.sampler = UniformNegativeSampler(
             self.users, self.items, self.n_users, self.n_items)
-        self.seed = int(config["seed"] or 2020) + seed_offset
+        self.seed = int(config.get("seed", 2020)) + seed_offset
         self.epoch = 0
 
     def __len__(self):
@@ -152,7 +152,7 @@ class NegSampleEvalLoader:
         self.n_items = eval_dataset.n_items
         self.sample_num = sample_num
         self.batch_size = max(1, int(config["eval_batch_size"] or 4096))
-        self.seed = int(config["seed"] or 2020)
+        self.seed = int(config.get("seed", 2020))
         n_users = eval_dataset.n_users
         e_users, e_items = eval_dataset.user_item_arrays()
         self.eval_users = np.unique(e_users).astype(np.int64)
@@ -236,7 +236,7 @@ class SequentialTrainLoader:
         self.dataset = dataset
         self.n = dataset.inter_num
         self.batch_size = int(config["train_batch_size"] or 2048)
-        self.seed = int(config["seed"] or 2020) + seed_offset
+        self.seed = int(config.get("seed", 2020)) + seed_offset
         self.epoch = 0
         neg_args = config["train_neg_sample_args"]
         self.neg_num = int((neg_args or {}).get("sample_num", 1)) if neg_args else 0
@@ -293,7 +293,7 @@ class SequentialNegSampleEvalLoader:
         self.n = dataset.inter_num
         self.sample_num = sample_num
         self.batch_size = max(1, int(config["eval_batch_size"] or 4096))
-        self.seed = int(config["seed"] or 2020)
+        self.seed = int(config.get("seed", 2020))
         users_all, items_all = [], []
         for ds in list(history_datasets) + [dataset]:
             u, i = ds.user_item_arrays()

@@ -35,7 +35,7 @@ class Evaluator:
         self.is_sequential = model.model_type == ModelType.SEQUENTIAL
         self.n_items = model.n_items
         self._propagate_jit = None
-        self._eval_rng = jax.random.PRNGKey(int(config["seed"] or 2020) + 9999)
+        self._eval_rng = jax.random.PRNGKey(int(config.get("seed", 2020)) + 9999)
         # distributed full-sort: item table row-sharded over the mesh's
         # tp axis, per-shard top-k + tiny candidate merge (EP-analog —
         # SURVEY.md §2.7); engaged when the trainer passes its mesh

@@ -37,8 +37,8 @@ class LightGCL(BaseRecommender):
         self.n_layers = int(config.get("n_layers", 2))
         self.dropout = float(config.get("dropout", 0.0))
         self.temp = float(config.get("temp", 0.8))
-        self.lambda_1 = float(config["lambda1"] or 0.01)
-        self.lambda_2 = float(config["lambda2"] or 1e-5)
+        self.lambda_1 = float(config.get("lambda1", 0.01))
+        self.lambda_2 = float(config.get("lambda2", 1e-5))
         self.q = int(config.get("q", 5))
 
         users, items = dataset.user_item_arrays()

@@ -188,23 +188,28 @@ def data_preparation(config, dataset):
         (test_loader, test_ds)
 
 
+def apply_backend_config(config) -> None:
+    """Honor ``use_gpu=False`` ([recbole] key) by forcing the CPU
+    backend.  Must be a post-import config update: the axon
+    sitecustomize re-pins JAX_PLATFORMS at registration, so the env
+    var alone is silently ignored.  Safe to call repeatedly; a no-op
+    once the backend is initialized (e.g. under pytest)."""
+    if config["use_gpu"] is False:
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass   # backend already initialized
+
+
 def run_recbole_gnn_tpu(model=None, dataset=None, config_file_list=None,
                         config_dict=None, saved=True, verbose=True):
     """End-to-end train + eval (reference quick_start.py:9-63)."""
     config = Config(model=model, dataset=dataset,
                     config_file_list=config_file_list,
                     config_dict=config_dict)
-    if config["use_gpu"] is False:
-        # honor use_gpu=False ([recbole] key) by forcing the CPU
-        # backend.  Must be a post-import config update: the axon
-        # sitecustomize re-pins JAX_PLATFORMS at registration, so the
-        # env var alone is silently ignored.
-        import jax
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except RuntimeError:
-            pass   # backend already initialized (e.g. under pytest)
-    init_seed(int(config["seed"] or 2020), bool(config["reproducibility"]))
+    apply_backend_config(config)
+    init_seed(int(config.get("seed", 2020)), bool(config["reproducibility"]))
     logger = init_logger(config)
     if verbose:
         logger.info(str(config))
@@ -220,7 +225,7 @@ def run_recbole_gnn_tpu(model=None, dataset=None, config_file_list=None,
     if verbose:
         logger.info(f"loaders ready [{_time.time() - t0:.1f}s]")
 
-    init_seed(int(config["seed"] or 2020), bool(config["reproducibility"]))
+    init_seed(int(config.get("seed", 2020)), bool(config["reproducibility"]))
     model_cls = get_model(config["model"])
     model_obj = model_cls(config, train_ds)
     trainer = get_trainer(config["MODEL_TYPE"], config["model"])(

@@ -21,10 +21,11 @@ TPU-first shape of the query path:
 - multi-chip catalogs use the item-sharded distributed top-k
   (``parallel/topk.py``) — pass ``mesh_shape`` at export/query time.
 
-Sequential models score *sessions*, not user ids; they are served by
-rebuilding the model from a checkpoint (``quick_start`` path) — a
-static artifact cannot capture a session encoder.  NeuMF (non-
-factorized MLP scorer) likewise.  Both raise a clear error here.
+Sequential models score *sessions*, not user ids — a static artifact
+cannot capture a session encoder, so they are served by
+``SessionServer`` (rebuilds the model from its checkpoint once, then
+answers ad-hoc token-list sessions).  NeuMF (non-factorized MLP
+scorer) raises a clear error from ``export_artifact``.
 
 CLI:
   python -m recbole_gnn_tpu.serve export -m LightGCN -d ml-100k \
@@ -34,6 +35,10 @@ CLI:
       --users 196 186 22 -k 10
   python -m recbole_gnn_tpu.serve http --artifact /tmp/... --port 8080
       # POST /recommend {"users": ["196"], "k": 10}; GET /healthz
+  python -m recbole_gnn_tpu.serve session -m SRGNN -d diginetica \
+      --session 214716935 214832672 -k 10        # one-shot
+  python -m recbole_gnn_tpu.serve session -m SRGNN -d diginetica \
+      --http 8081   # POST /recommend {"sessions": [[...]], "k": 10}
 """
 
 from __future__ import annotations
@@ -63,10 +68,13 @@ def export_artifact(config, out_path: str, checkpoint_path: str | None = None,
     import jax
 
     from recbole_gnn_tpu.models import get_model
-    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    from recbole_gnn_tpu.quick_start import (apply_backend_config,
+                                             create_dataset,
+                                             data_preparation)
     from recbole_gnn_tpu.train.checkpoint import load_checkpoint
     from recbole_gnn_tpu.utils.enums import ModelType
 
+    apply_backend_config(config)
     if config["MODEL_TYPE"] == ModelType.SEQUENTIAL:
         raise ValueError(
             "sequential models score sessions, not user ids — serve them "
@@ -170,9 +178,13 @@ class RecServer:
 
             from recbole_gnn_tpu.parallel.mesh import make_mesh
             self._mesh = make_mesh(mesh_shape)
+            # items shard over 'tp' when the mesh has one, else over
+            # the mesh's first axis (list shorthand [8] → {'dp': 8})
+            self._shard_axis = ("tp" if "tp" in self._mesh.axis_names
+                                else self._mesh.axis_names[0])
             # the item-sharded top-k needs n_items % n_shards == 0;
             # pad with PAD rows and pass the real size as n_valid_items
-            shards = self._mesh.shape["tp"]
+            shards = self._mesh.shape[self._shard_axis]
             pad = (-self.item_table.shape[0]) % shards
             if pad:
                 self.item_table = jnp.pad(self.item_table,
@@ -201,9 +213,14 @@ class RecServer:
 
                 def fn(uids, hist, item_table, user_table):
                     ue = user_table[uids]
+                    # appended 0 column guarantees the PAD item is
+                    # always excluded even when a history row is full
+                    hist = jnp.concatenate(
+                        [hist, jnp.zeros((hist.shape[0], 1), hist.dtype)],
+                        axis=1)
                     return distributed_full_sort_topk(
                         ue, item_table, hist, k, self._mesh,
-                        n_valid_items=self.n_items)
+                        axis=self._shard_axis, n_valid_items=self.n_items)
             else:
                 def fn(uids, hist, item_table, user_table):
                     ue = user_table[uids]
@@ -216,8 +233,7 @@ class RecServer:
                     scores = scores.at[:, 0].set(NEG_INF)   # PAD item
                     return masked_topk(scores, k)
 
-                fn = jax.jit(fn)
-            self._jit_cache[key] = fn
+            self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
     def _hist_rows(self, uids: np.ndarray, width: int | None = None
@@ -252,6 +268,10 @@ class RecServer:
         """
         uids = self.resolve_users(users)
         n = len(uids)
+        if n == 0:
+            empty = np.zeros((0, k), dtype=np.float32)
+            return ([] if return_tokens
+                    else np.zeros((0, k), dtype=np.int64)), empty
         b = self._bucket(n)
         # history width also buckets (pow2) so jit keys stay bounded
         lens = self._hist_indptr[uids + 1] - self._hist_indptr[uids]
@@ -274,18 +294,167 @@ class RecServer:
         return idx, vals
 
 
+# -- session serving ------------------------------------------------------
+
+class SessionServer:
+    """Real-time session-based recommendation from a checkpoint.
+
+    Sequential models score *sessions*, so a static two-table artifact
+    cannot capture the encoder; this server rebuilds the model from its
+    checkpoint once at startup (config → dataset (vocab + shapes) →
+    model object + params) and then serves ad-hoc sessions: item-token
+    lists → padded ``(B, L)`` arrays (+ the SR-GNN session-graph arrays
+    when the model's dataset class builds them — same construction path
+    as training, ``data/session.py``, incl. the C++ fast path) →
+    jit-cached ``full_scores`` → PAD-masked exact top-k.  No history
+    masking — the reference's sequential full-sort convention
+    (``SequentialFullSortEvalLoader``).
+
+    Supported: every model on SessionGraphDataset or SequentialDataset
+    (SRGNN, GCSAN, TAGNN, NISER, SGNNHN, GRU4Rec, NARM, SASRec).
+    LESSR / GCE-GNN / multi-behavior need their specialized per-session
+    structures; serve those via the offline evaluator.
+    """
+
+    BATCH_BUCKETS = (1, 8, 64, 256)
+
+    def __init__(self, config, checkpoint_path: str | None = None):
+        from recbole_gnn_tpu.models import get_model, model_info
+        from recbole_gnn_tpu.quick_start import (apply_backend_config,
+                                                 create_dataset,
+                                                 data_preparation)
+        from recbole_gnn_tpu.train.checkpoint import load_checkpoint
+        from recbole_gnn_tpu.utils.enums import ModelType
+
+        apply_backend_config(config)
+        if config["MODEL_TYPE"] != ModelType.SEQUENTIAL:
+            raise ValueError("SessionServer serves sequential models; "
+                             "use RecServer + export_artifact for "
+                             "general/social models")
+        info = model_info(config["model"])
+        if info.dataset_class not in ("SessionGraphDataset",
+                                      "SequentialDataset"):
+            raise ValueError(
+                f"{info.name} builds specialized per-session structures "
+                f"({info.dataset_class}); serve it via the offline "
+                "evaluator")
+        self._needs_graph = info.dataset_class == "SessionGraphDataset"
+        ds = create_dataset(config)
+        (_, train_ds), _, _ = data_preparation(config, ds)
+        self.model = get_model(config["model"])(config, train_ds)
+        ckpt = checkpoint_path or os.path.join(
+            config["checkpoint_dir"] or "saved/",
+            f"{config['model']}-{config['dataset']}.ckpt")
+        state = load_checkpoint(ckpt)
+        self.params = state["params"]
+        self.extras = state.get("extras", {})
+        self.consts = self.model.consts
+        self.item_tokens = train_ds.field2id_token[train_ds.iid_field]
+        self._tok2iid = {str(t): i for i, t in enumerate(self.item_tokens)}
+        self.max_seq_len = int(train_ds.max_seq_len)
+        self.n_items = int(train_ds.n_items)
+        self.meta = {"model": str(config["model"]),
+                     "dataset": str(config["dataset"]),
+                     "checkpoint": ckpt}
+        self._jit_cache = {}
+
+    def _bucket(self, n: int) -> int:
+        for b in self.BATCH_BUCKETS:
+            if n <= b:
+                return b
+        return -(-n // self.BATCH_BUCKETS[-1]) * self.BATCH_BUCKETS[-1]
+
+    def _scorer(self, batch: int, k: int):
+        key = (batch, k)
+        if key not in self._jit_cache:
+            import jax
+
+            from recbole_gnn_tpu.ops.topk import NEG_INF, masked_topk
+
+            def fn(params, consts, extras, b):
+                scores = self.model.full_scores(
+                    params, consts, extras, b, jax.random.PRNGKey(0),
+                    False)
+                scores = scores.at[:, 0].set(NEG_INF)   # PAD item
+                return masked_topk(scores, k)
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def recommend(self, sessions, k: int = 10, return_tokens: bool = True):
+        """Top-``k`` next items per session.
+
+        ``sessions``: list of item-token lists (each the user's current
+        session, oldest first; only the last ``max_seq_len`` items are
+        used, matching the training-time window).
+        """
+        n = len(sessions)
+        if n == 0:
+            empty = np.zeros((0, k), dtype=np.float32)
+            return ([] if return_tokens
+                    else np.zeros((0, k), dtype=np.int64)), empty
+        L = self.max_seq_len
+        seqs = np.zeros((n, L), dtype=np.int32)
+        lens = np.zeros(n, dtype=np.int32)
+        for r, s in enumerate(sessions):
+            ids = []
+            for t in s:
+                tok = str(t)
+                if tok not in self._tok2iid:
+                    raise KeyError(f"unknown item token {tok!r}")
+                ids.append(self._tok2iid[tok])
+            if not ids:
+                raise KeyError("empty session")
+            ids = ids[-L:]
+            seqs[r, :len(ids)] = ids
+            lens[r] = len(ids)
+        b = self._bucket(n)
+        if b > n:
+            seqs = np.concatenate(
+                [seqs, np.repeat(seqs[:1], b - n, axis=0)])
+            lens = np.concatenate(
+                [lens, np.repeat(lens[:1], b - n, axis=0)])
+        batch = {"item_seq": seqs, "item_seq_len": lens}
+        if self._needs_graph:
+            from recbole_gnn_tpu.data.session import (
+                SessionGraphDataset, _alias_per_row, _unique_per_row)
+            from recbole_gnn_tpu.native import build_session_graphs_native
+            native = build_session_graphs_native(seqs, lens)
+            if native is not None:
+                x, n_nodes, alias, src, dst, n_edges = native
+            else:
+                x, n_nodes = _unique_per_row(seqs)
+                alias = _alias_per_row(x, n_nodes, seqs, lens)
+                src, dst, n_edges = SessionGraphDataset._consecutive_edges(
+                    alias, lens, L)
+            batch.update(x=x, n_nodes=n_nodes, alias_inputs=alias,
+                         edge_src=src, edge_dst=dst, n_edges=n_edges)
+        vals, idx = self._scorer(b, k)(
+            self.params, self.consts, self.extras, batch)
+        vals = np.asarray(vals)[:n]
+        idx = np.asarray(idx)[:n]
+        if return_tokens:
+            items = [[str(self.item_tokens[j]) for j in row] for row in idx]
+            return items, vals
+        return idx, vals
+
+
 # -- minimal stdlib HTTP endpoint ----------------------------------------
 
-def make_http_server(server: RecServer, host: str = "127.0.0.1",
-                     port: int = 8080):
+def make_http_server(server, host: str = "127.0.0.1", port: int = 8080):
     """ThreadingHTTPServer wrapping ``server.recommend``.
 
-    POST /recommend  body {"users": [...], "k": 10,
-                           "mask_history": true}
-      → {"users": [...], "items": [[...]], "scores": [[...]]}
+    RecServer:     POST /recommend {"users": [...], "k": 10,
+                                    "mask_history": true}
+    SessionServer: POST /recommend {"sessions": [[tok, ...], ...],
+                                    "k": 10}
+      → {..., "items": [[...]], "scores": [[...]]}
     GET /healthz → {"status": "ok", "model": ..., "n_items": ...}
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    is_session = isinstance(server, SessionServer)
+    req_key = "sessions" if is_session else "users"
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, obj):
@@ -301,7 +470,7 @@ def make_http_server(server: RecServer, host: str = "127.0.0.1",
                 self._send(200, {"status": "ok",
                                  "model": server.meta["model"],
                                  "dataset": server.meta["dataset"],
-                                 "n_users": server.n_users,
+                                 "n_users": getattr(server, "n_users", None),
                                  "n_items": server.n_items})
             else:
                 self._send(404, {"error": "not found"})
@@ -313,10 +482,14 @@ def make_http_server(server: RecServer, host: str = "127.0.0.1",
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                items, scores = server.recommend(
-                    req["users"], k=int(req.get("k", 10)),
-                    mask_history=bool(req.get("mask_history", True)))
-                self._send(200, {"users": [str(u) for u in req["users"]],
+                if is_session:
+                    items, scores = server.recommend(
+                        req[req_key], k=int(req.get("k", 10)))
+                else:
+                    items, scores = server.recommend(
+                        req[req_key], k=int(req.get("k", 10)),
+                        mask_history=bool(req.get("mask_history", True)))
+                self._send(200, {req_key: req[req_key],
                                  "items": items,
                                  "scores": [[float(v) for v in row]
                                             for row in scores]})
@@ -355,20 +528,35 @@ def main(argv=None):
     ex.add_argument("--out", required=True)
     ex.add_argument("--mask_splits", choices=("all", "train"), default="all")
 
+    from recbole_gnn_tpu.config.config import _coerce
+
     q = sub.add_parser("query", help="one-shot top-k query")
     q.add_argument("--artifact", required=True)
     q.add_argument("--users", nargs="+", required=True)
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--mesh_shape", default=None)
+    q.add_argument("--mesh_shape", type=_coerce, default=None)
 
     h = sub.add_parser("http", help="serve over HTTP")
     h.add_argument("--artifact", required=True)
     h.add_argument("--host", default="127.0.0.1")
     h.add_argument("--port", type=int, default=8080)
-    h.add_argument("--mesh_shape", default=None)
+    h.add_argument("--mesh_shape", type=_coerce, default=None)
+
+    se = sub.add_parser("session", help="session-based top-k from a "
+                                        "checkpoint (sequential models)")
+    se.add_argument("-m", "--model", required=True)
+    se.add_argument("-d", "--dataset", required=True)
+    se.add_argument("--config_files", nargs="*", default=None)
+    se.add_argument("--checkpoint", default=None)
+    se.add_argument("--session", nargs="+", default=None,
+                    help="item tokens, oldest first (one-shot query)")
+    se.add_argument("-k", type=int, default=10)
+    se.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="serve over HTTP instead of a one-shot query")
+    se.add_argument("--host", default="127.0.0.1")
 
     args, extra = ap.parse_known_args(argv)
-    if args.cmd != "export" and extra:
+    if args.cmd not in ("export", "session") and extra:
         ap.error(f"unrecognized arguments: {' '.join(extra)}")
     args.params = extra   # export: --key=value config overrides (run.py style)
     if args.cmd == "export":
@@ -388,6 +576,22 @@ def main(argv=None):
         print(f"serving {srv.meta['model']}/{srv.meta['dataset']} on "
               f"http://{args.host}:{args.port}")
         httpd.serve_forever()
+    elif args.cmd == "session":
+        srv = SessionServer(_build_config(args),
+                            checkpoint_path=args.checkpoint)
+        if args.http is not None:
+            httpd = make_http_server(srv, args.host, args.http)
+            print(f"serving sessions for {srv.meta['model']}/"
+                  f"{srv.meta['dataset']} on "
+                  f"http://{args.host}:{args.http}")
+            httpd.serve_forever()
+        elif args.session:
+            items, scores = srv.recommend([args.session], k=args.k)
+            pairs = ", ".join(f"{t}:{v:.3f}"
+                              for t, v in zip(items[0], scores[0]))
+            print(f"{' '.join(args.session)} -> {pairs}")
+        else:
+            ap.error("session: pass --session tokens or --http PORT")
 
 
 if __name__ == "__main__":

@@ -49,15 +49,15 @@ class Trainer:
         self.config = config
         self.model = model
         self.logger = get_logger()
-        self.epochs = int(config["epochs"] or 300)
+        self.epochs = int(config.get("epochs", 300))
         self.eval_step = max(1, int(config["eval_step"] or 1))
-        self.stopping_step = int(config["stopping_step"] or 10)
+        self.stopping_step = int(config.get("stopping_step", 10))
         self.valid_metric = str(config["valid_metric"] or "MRR@10").lower()
         self.valid_metric_bigger = config["valid_metric_bigger"] is not False
         self.optimizer = make_optimizer(
             learner=config["learner"] or "adam",
             lr=float(config["learning_rate"] or 1e-3),
-            weight_decay=float(config["weight_decay"] or 0.0),
+            weight_decay=float(config.get("weight_decay", 0.0)),
             clip_grad_norm=(float(config["clip_grad_norm"]["max_norm"])
                             if isinstance(config["clip_grad_norm"], dict)
                             else config["clip_grad_norm"]),

@@ -46,9 +46,15 @@ BASE_CFG = {
     "valid_metric": "NDCG@10",
     "train_batch_size": 65536,
     "eval_batch_size": 256,
-    "epochs": 32,
+    # 1.2M item embeddings see ~5 updates/epoch at 6M interactions —
+    # reference gowalla recipes run hundreds of epochs; 64 epochs at a
+    # large-batch-scaled lr (5e-3 at B=65536 vs the paper's 1e-3 at
+    # B=2048) is the compressed equivalent that fits the round budget.
+    "learning_rate": 5e-3,
+    "epochs": 64,
     "eval_step": 4,
-    "stopping_step": 2,        # 2 eval rounds = 8 epochs patience
+    "stopping_step": 3,         # 3 eval rounds = 12 epochs patience
+    "stopping_min_epochs": 24,  # don't stop on the early flat region
     "epoch_scan": 64,
     "eval_scan": 32,
     "state": "INFO",

@@ -149,3 +149,55 @@ def test_sgl_bf16_sparse_path_quality():
                        "activation_dtype": "bfloat16"})
     for k in ("ndcg@10", "recall@10"):
         assert abs(f32["test_result"][k] - bf16["test_result"][k]) < 0.02
+
+
+def test_no_zero_swallowing_config_reads():
+    """`config[k] or default` silently replaces legitimate 0 / 0.0 /
+    False overrides (--eps=0.0 trained with 0.2 before commit 71a2f99);
+    model code must use the None-safe ``config.get(k, default)``."""
+    import pathlib
+    import re
+    root = pathlib.Path(__file__).resolve().parents[1] / "recbole_gnn_tpu"
+    pat = re.compile(r'config\[[^\]]+\]\s+or\s')
+    allowed = {"loss_type", "state", "checkpoint_dir", "eval_args",
+               "learner", "valid_metric", "encoder", "type",
+               "activation_function", "activation_dtype",
+               "ITEM_ID_FIELD", "USER_ID_FIELD", "LIST_SUFFIX",
+               "ITEM_LIST_LENGTH_FIELD", "NET_SOURCE_ID_FIELD",
+               "NET_TARGET_ID_FIELD", "graph_edge_sharding_axis"}
+    bad = []
+    for p in sorted(root.rglob("*.py")):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            m = pat.search(line)
+            if m and not any(f'"{k}"' in line or f"'{k}'" in line
+                             for k in allowed):
+                # numeric fallbacks where 0 is a meaningless override
+                # (batch sizes, seq-len caps) are still flagged unless
+                # guarded by max(1, ...)
+                if "max(1," in line or "batch_size" in line \
+                        or "MAX_ITEM_LIST_LENGTH" in line \
+                        or "eval_step" in line \
+                        or "learning_rate" in line \
+                        or "dropout_probs" in line \
+                        or "hidden_size_list" in line \
+                        or "mlp_hidden_size" in line \
+                        or "gate_layer_ids" in line \
+                        or "gating_mlp_dims" in line:
+                    continue
+                bad.append(f"{p.relative_to(root)}:{i}: {line.strip()}")
+    assert not bad, "zero-swallowing config reads:\n" + "\n".join(bad)
+
+
+def test_zero_overrides_respected():
+    """lambda1=0 / lambda2=0 (disable LightGCL's contrastive term — a
+    legitimate ablation) must reach the model, not the yaml default."""
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    cfg = Config(config_dict=base_config_dict(
+        model="LightGCL", lambda1=0.0, lambda2=0.0, seed=0))
+    ds = create_dataset(cfg)
+    (tr_loader, tr_ds), _, _ = data_preparation(cfg, ds)
+    m = get_model("LightGCL")(cfg, tr_ds)
+    assert m.lambda_1 == 0.0 and m.lambda_2 == 0.0
+    assert tr_loader.seed == 0   # seed 0 must not fall back to 2020
