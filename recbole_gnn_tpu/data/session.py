@@ -222,59 +222,73 @@ class GCEGNNDataset(SequentialDataset):
     def reverse_session(self):
         seqs = self.inter[self.item_list_field]
         lengths = self.inter[self.item_length_field]
-        L = seqs.shape[1]
-        pos = np.arange(L)[None, :]
-        rev_idx = np.where(pos < lengths[:, None], lengths[:, None] - 1 - pos, pos)
-        self.inter[self.item_list_field] = np.take_along_axis(seqs, rev_idx, axis=1)
+        self.inter[self.item_list_field] = reverse_sessions(seqs, lengths)
 
     def session_graph_construction(self):
         seqs = self.inter[self.item_list_field]
         lengths = self.inter[self.item_length_field]
-        L = self.max_seq_len
-        x, n_nodes = _unique_per_row(seqs)
-        alias = _alias_per_row(x, n_nodes, seqs, lengths)
-
-        N = seqs.shape[0]
-        a, b = alias[:, :-1].astype(np.int64), alias[:, 1:].astype(np.int64)
-        pair_valid = (np.arange(L - 1)[None, :] + 1) < lengths[:, None]
-        # bidirectional: pair (u,v) whose reverse (v,u) also occurs in
-        # the consecutive-pair multiset of the same session
-        fwd_key = a * L + b
-        rev_key = b * L + a
-        bidir = np.zeros_like(pair_valid)
-        for lo in range(0, N, _CHUNK):
-            hi = min(lo + _CHUNK, N)
-            fk = np.where(pair_valid[lo:hi], fwd_key[lo:hi], -1)
-            rk = np.where(pair_valid[lo:hi], rev_key[lo:hi], -2)
-            bidir[lo:hi] = (fk[:, :, None] == rk[:, None, :]).any(axis=-1)
-
-        node_valid = np.arange(L)[None, :] < n_nodes[:, None]
-        # self-loop on node slot j: key (j*L + j)*4 + attr0 == j*(L+1)*4
-        loop_keys = np.broadcast_to(
-            np.arange(L, dtype=np.int64)[None, :] * np.int64(L + 1) * 4, (N, L))
-
-        # edge key packs (src, dst, attr) as (src*L + dst)*4 + attr
-        back_attr = np.where(bidir, 3, 1).astype(np.int64)
-        fwd_attr = np.where(bidir, 3, 2).astype(np.int64)
-        keys = np.concatenate([
-            (a * L + b) * 4 + back_attr,
-            (b * L + a) * 4 + fwd_attr,
-            loop_keys,
-        ], axis=1)
-        valids = np.concatenate([pair_valid, pair_valid, node_valid], axis=1)
-        E = keys.shape[1]
-        uniq, counts = _dedup_edges_per_row(keys, valids, E)
-        uniq0 = np.where(uniq < 0, 0, uniq)
-        attr = (uniq0 % 4).astype(np.int32)
-        pair = uniq0 // 4
-        src = (pair // L).astype(np.int32)
-        dst = (pair % L).astype(np.int32)
-        self.session_graphs = {
-            "x": x, "n_nodes": n_nodes, "alias_inputs": alias,
-            "edge_src": src, "edge_dst": dst, "edge_attr": attr,
-            "n_edges": counts,
-        }
+        graphs, E = build_gcegnn_graphs(seqs, lengths, self.max_seq_len)
+        self.session_graphs = graphs
         self.max_local_edges = E
+
+
+def reverse_sessions(seqs: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Reverse each row's first ``lengths`` entries in place-order
+    (GCE-GNN convention: most recent click first)."""
+    L = seqs.shape[1]
+    pos = np.arange(L)[None, :]
+    rev_idx = np.where(pos < lengths[:, None], lengths[:, None] - 1 - pos, pos)
+    return np.take_along_axis(seqs, rev_idx, axis=1)
+
+
+def build_gcegnn_graphs(seqs: np.ndarray, lengths: np.ndarray, L: int
+                        ) -> tuple[dict[str, np.ndarray], int]:
+    """GCE-GNN local-graph arrays for (already reversed) sessions —
+    see GCEGNNDataset.  Returns (graphs dict, max local edges E)."""
+    x, n_nodes = _unique_per_row(seqs)
+    alias = _alias_per_row(x, n_nodes, seqs, lengths)
+
+    N = seqs.shape[0]
+    a, b = alias[:, :-1].astype(np.int64), alias[:, 1:].astype(np.int64)
+    pair_valid = (np.arange(L - 1)[None, :] + 1) < lengths[:, None]
+    # bidirectional: pair (u,v) whose reverse (v,u) also occurs in
+    # the consecutive-pair multiset of the same session
+    fwd_key = a * L + b
+    rev_key = b * L + a
+    bidir = np.zeros_like(pair_valid)
+    for lo in range(0, N, _CHUNK):
+        hi = min(lo + _CHUNK, N)
+        fk = np.where(pair_valid[lo:hi], fwd_key[lo:hi], -1)
+        rk = np.where(pair_valid[lo:hi], rev_key[lo:hi], -2)
+        bidir[lo:hi] = (fk[:, :, None] == rk[:, None, :]).any(axis=-1)
+
+    node_valid = np.arange(L)[None, :] < n_nodes[:, None]
+    # self-loop on node slot j: key (j*L + j)*4 + attr0 == j*(L+1)*4
+    loop_keys = np.broadcast_to(
+        np.arange(L, dtype=np.int64)[None, :] * np.int64(L + 1) * 4, (N, L))
+
+    # edge key packs (src, dst, attr) as (src*L + dst)*4 + attr
+    back_attr = np.where(bidir, 3, 1).astype(np.int64)
+    fwd_attr = np.where(bidir, 3, 2).astype(np.int64)
+    keys = np.concatenate([
+        (a * L + b) * 4 + back_attr,
+        (b * L + a) * 4 + fwd_attr,
+        loop_keys,
+    ], axis=1)
+    valids = np.concatenate([pair_valid, pair_valid, node_valid], axis=1)
+    E = keys.shape[1]
+    uniq, counts = _dedup_edges_per_row(keys, valids, E)
+    uniq0 = np.where(uniq < 0, 0, uniq)
+    attr = (uniq0 % 4).astype(np.int32)
+    pair = uniq0 // 4
+    src = (pair // L).astype(np.int32)
+    dst = (pair % L).astype(np.int32)
+    graphs = {
+        "x": x, "n_nodes": n_nodes, "alias_inputs": alias,
+        "edge_src": src, "edge_dst": dst, "edge_attr": attr,
+        "n_edges": counts,
+    }
+    return graphs, E
 
 
 def build_lessr_graphs(seqs: np.ndarray, lengths: np.ndarray, L: int

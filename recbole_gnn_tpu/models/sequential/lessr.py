@@ -39,12 +39,23 @@ def _prelu(alpha, x):
     return jnp.where(x >= 0, x, alpha * x)
 
 
-def _masked_bn(p, x, mask):
-    """BatchNorm over valid nodes only; (B, L, D) x, (B, L) mask."""
+def _masked_stats(x, mask):
+    """Masked per-feature (mu, var) over valid nodes; (B, L, D) x."""
     m = mask[:, :, None].astype(x.dtype)
     cnt = jnp.maximum(m.sum(), 1.0)
     mu = (x * m).sum(axis=(0, 1)) / cnt
     var = (((x - mu) ** 2) * m).sum(axis=(0, 1)) / cnt
+    return mu, var
+
+
+def _masked_bn(p, x, mask, stats=None):
+    """BatchNorm over valid nodes only; (B, L, D) x, (B, L) mask.
+
+    ``stats``: optional frozen (mu, var) — the population-statistics
+    analogue of torch BatchNorm's running eval stats (see
+    ``LESSR.serving_calibrate``); default batch statistics."""
+    mu, var = stats if stats is not None else _masked_stats(x, mask)
+    m = mask[:, :, None].astype(x.dtype)
     return ((x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]) * m
 
 
@@ -115,7 +126,7 @@ class LESSR(SequentialRecommender):
         keep = jax.random.bernoulli(k, 1.0 - self.feat_drop, x.shape)
         return rng, jnp.where(keep, x / (1.0 - self.feat_drop), 0.0)
 
-    def _eopa(self, lp, feat, batch, nmask, rng, train):
+    def _eopa(self, lp, feat, batch, nmask, rng, train, bn=_masked_bn):
         """GRU over each node's time-ordered in-edge messages.
 
         Mailbox formulation (r4, VERDICT r3 #5): messages are functions
@@ -128,7 +139,7 @@ class LESSR(SequentialRecommender):
         the 15-epoch fixture run; equality-tested vs the per-edge scan
         in tests/test_models_sequential.py)."""
         if self.batch_norm:
-            feat = _masked_bn(lp["bn"], feat, nmask)
+            feat = bn(lp["bn"], feat, nmask)
         rng, dropped = self._dropout(rng, feat, train)
         mail, cnt = batch["eop_mail"], batch["eop_mail_cnt"]
         K = mail.shape[2]
@@ -163,10 +174,10 @@ class LESSR(SequentialRecommender):
         out = linear(lp["fc_self"], feat) + linear(lp["fc_neigh"], neigh)
         return rng, _prelu(lp["prelu"], out)
 
-    def _sgat(self, lp, feat, batch, nmask, rng, train):
+    def _sgat(self, lp, feat, batch, nmask, rng, train, bn=_masked_bn):
         B, L, _ = feat.shape
         if self.batch_norm:
-            feat = _masked_bn(lp["bn"], feat, nmask)
+            feat = bn(lp["bn"], feat, nmask)
         rng, feat = self._dropout(rng, feat, train)
         q = linear(lp["fc_q"], feat)
         k = linear(lp["fc_k"], feat)
@@ -185,9 +196,10 @@ class LESSR(SequentialRecommender):
         out = jnp.einsum("bij,bjd->bid", alpha, v)
         return rng, _prelu(lp["prelu"], out)
 
-    def _readout(self, rp, feat, last_slot, nmask, rng, train):
+    def _readout(self, rp, feat, last_slot, nmask, rng, train,
+                 bn=_masked_bn):
         if self.batch_norm:
-            feat = _masked_bn(rp["bn"], feat, nmask)
+            feat = bn(rp["bn"], feat, nmask)
         rng, feat = self._dropout(rng, feat, train)
         fu = linear(rp["fc_u"], feat)
         last_feat = jnp.take_along_axis(feat, last_slot[:, None, None],
@@ -200,7 +212,24 @@ class LESSR(SequentialRecommender):
         rst = linear(rp["fc_out"], rst)
         return rng, _prelu(rp["prelu"], rst)
 
-    def seq_output(self, params, batch, rng, train):
+    def seq_output(self, params, batch, rng, train, bn_stats=None,
+                   bn_collect=None):
+        """``bn_stats``: frozen per-site (mu, var) list (population
+        statistics — see ``serving_calibrate``); ``bn_collect``: list
+        to append each site's batch statistics to (calibration pass).
+        Default: batch statistics, the training-time semantics."""
+        site = {"i": 0}
+
+        def bn(p, x, mask):
+            i = site["i"]
+            site["i"] += 1
+            if bn_collect is not None:
+                s = _masked_stats(x, mask)
+                bn_collect.append(s)
+            else:
+                s = bn_stats[i] if bn_stats is not None else None
+            return _masked_bn(p, x, mask, s)
+
         L = batch["x"].shape[1]
         n = batch["n_nodes"]
         # node mask incl. the reference's single PAD node per short session
@@ -213,30 +242,53 @@ class LESSR(SequentialRecommender):
 
         for i, lp in enumerate(params["layers"]):
             if i % 2 == 0:
-                rng, out = self._eopa(lp, feat, batch, nmask, rng, train)
+                rng, out = self._eopa(lp, feat, batch, nmask, rng, train,
+                                      bn=bn)
             else:
-                rng, out = self._sgat(lp, feat, batch, nmask, rng, train)
+                rng, out = self._sgat(lp, feat, batch, nmask, rng, train,
+                                      bn=bn)
             feat = jnp.concatenate([out, feat], axis=-1)
 
         last_alias = jnp.take_along_axis(
             batch["alias_inputs"],
             jnp.maximum(batch["item_seq_len"] - 1, 0)[:, None], axis=1)[:, 0]
         rng, sr_g = self._readout(
-            params["readout"], feat, last_alias, nmask, rng, train)
+            params["readout"], feat, last_alias, nmask, rng, train, bn=bn)
         # sr_l uses the raw concatenated feat (reference lessr.py:219)
         sr_l = jnp.take_along_axis(feat, last_alias[:, None, None],
                                    axis=1)[:, 0]
         sr = jnp.concatenate([sr_l, sr_g], axis=-1)
         if self.batch_norm:
-            mu = jnp.mean(sr, axis=0)
-            var = jnp.var(sr, axis=0)
+            i = site["i"]
+            site["i"] += 1
+            if bn_collect is not None:
+                mu, var = jnp.mean(sr, axis=0), jnp.var(sr, axis=0)
+                bn_collect.append((mu, var))
+            elif bn_stats is not None:
+                mu, var = bn_stats[i]
+            else:
+                mu, var = jnp.mean(sr, axis=0), jnp.var(sr, axis=0)
             sr = (sr - mu) * jax.lax.rsqrt(var + 1e-5) * \
                 params["bn_sr"]["g"] + params["bn_sr"]["b"]
         rng, sr = self._dropout(rng, sr, train)
         return linear(params["fc_sr"], sr)
 
+    def serving_calibrate(self, params, consts, extras, batch):
+        """Freeze population BN statistics from a sample batch of
+        training sessions — the analogue of the torch reference's
+        BatchNorm running eval stats.  With ``"lessr_bn"`` in extras,
+        eval-mode scores become batch-size invariant (required for
+        serving at B=1, where batch variance degenerates to 0)."""
+        collect = []
+        self.seq_output(params, batch, jax.random.PRNGKey(0), False,
+                        bn_collect=collect)
+        return {**(extras or {}), "lessr_bn": collect}
+
     def full_scores(self, params, consts, extras, batch, rng, train):
-        out = self.seq_output(params, batch, rng, train)
+        bn_stats = None
+        if not train and isinstance(extras, dict):
+            bn_stats = extras.get("lessr_bn")
+        out = self.seq_output(params, batch, rng, train, bn_stats=bn_stats)
         emb = params["item_emb"]
         norms = jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
         emb = emb * jnp.minimum(1.0, 1.0 / norms)

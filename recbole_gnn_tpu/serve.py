@@ -310,10 +310,11 @@ class SessionServer:
     masking — the reference's sequential full-sort convention
     (``SequentialFullSortEvalLoader``).
 
-    Supported: every model on SessionGraphDataset or SequentialDataset
-    (SRGNN, GCSAN, TAGNN, NISER, SGNNHN, GRU4Rec, NARM, SASRec).
-    LESSR / GCE-GNN / multi-behavior need their specialized per-session
-    structures; serve those via the offline evaluator.
+    Supported: every registered sequential model — SessionGraphDataset
+    (SRGNN, GCSAN, TAGNN, NISER, SGNNHN), plain SequentialDataset
+    (GRU4Rec, NARM, SASRec), LESSRDataset (EOP multigraph + mailbox +
+    shortcut graph) and GCEGNNDataset (reversed sessions + typed
+    edges), each built by the same construction path training uses.
     """
 
     BATCH_BUCKETS = (1, 8, 64, 256)
@@ -332,13 +333,14 @@ class SessionServer:
                              "use RecServer + export_artifact for "
                              "general/social models")
         info = model_info(config["model"])
-        if info.dataset_class not in ("SessionGraphDataset",
-                                      "SequentialDataset"):
+        if info.dataset_class not in ("SequentialDataset",
+                                      "SessionGraphDataset",
+                                      "LESSRDataset", "GCEGNNDataset"):
             raise ValueError(
                 f"{info.name} builds specialized per-session structures "
                 f"({info.dataset_class}); serve it via the offline "
                 "evaluator")
-        self._needs_graph = info.dataset_class == "SessionGraphDataset"
+        self._dataset_class = info.dataset_class
         ds = create_dataset(config)
         (_, train_ds), _, _ = data_preparation(config, ds)
         self.model = get_model(config["model"])(config, train_ds)
@@ -349,6 +351,21 @@ class SessionServer:
         self.params = state["params"]
         self.extras = state.get("extras", {})
         self.consts = self.model.consts
+        if hasattr(self.model, "serving_calibrate"):
+            # freeze population statistics (e.g. LESSR's BatchNorm)
+            # from a spread sample of training sessions so serving
+            # scores are batch-size invariant
+            m = min(1024, train_ds.inter_num)
+            rows = np.linspace(0, train_ds.inter_num - 1, m,
+                               dtype=np.int64)
+            cb = {"item_seq":
+                  train_ds.inter[train_ds.item_list_field][rows],
+                  "item_seq_len":
+                  train_ds.inter[train_ds.item_length_field][rows]}
+            for gk, gv in getattr(train_ds, "session_graphs", {}).items():
+                cb[gk] = gv[rows]
+            self.extras = self.model.serving_calibrate(
+                self.params, self.consts, self.extras, cb)
         self.item_tokens = train_ds.field2id_token[train_ds.iid_field]
         self._tok2iid = {str(t): i for i, t in enumerate(self.item_tokens)}
         self.max_seq_len = int(train_ds.max_seq_len)
@@ -415,7 +432,7 @@ class SessionServer:
             lens = np.concatenate(
                 [lens, np.repeat(lens[:1], b - n, axis=0)])
         batch = {"item_seq": seqs, "item_seq_len": lens}
-        if self._needs_graph:
+        if self._dataset_class == "SessionGraphDataset":
             from recbole_gnn_tpu.data.session import (
                 SessionGraphDataset, _alias_per_row, _unique_per_row)
             from recbole_gnn_tpu.native import build_session_graphs_native
@@ -429,6 +446,17 @@ class SessionServer:
                     alias, lens, L)
             batch.update(x=x, n_nodes=n_nodes, alias_inputs=alias,
                          edge_src=src, edge_dst=dst, n_edges=n_edges)
+        elif self._dataset_class == "LESSRDataset":
+            from recbole_gnn_tpu.data.session import build_lessr_graphs
+            graphs, _ = build_lessr_graphs(seqs, lens, L)
+            batch.update(graphs)
+        elif self._dataset_class == "GCEGNNDataset":
+            from recbole_gnn_tpu.data.session import (build_gcegnn_graphs,
+                                                      reverse_sessions)
+            seqs = reverse_sessions(seqs, lens)
+            batch["item_seq"] = seqs   # training-time sessions are
+            graphs, _ = build_gcegnn_graphs(seqs, lens, L)  # reversed
+            batch.update(graphs)
         vals, idx = self._scorer(b, k)(
             self.params, self.consts, self.extras, batch)
         vals = np.asarray(vals)[:n]

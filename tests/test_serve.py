@@ -232,14 +232,45 @@ def test_session_server_no_graph_model(srgnn_ckpt):
     assert items == [] and scores.shape == (0, 5)
 
 
-def test_session_server_rejects_specialized(srgnn_ckpt):
+def test_session_server_rejects_nonsequential(srgnn_ckpt):
     from recbole_gnn_tpu.serve import SessionServer
-    cfg = Config(config_dict=base_config_dict(model="LESSR"))
-    with pytest.raises(ValueError, match="specialized"):
-        SessionServer(cfg)
     cfg = Config(config_dict=base_config_dict(model="LightGCN"))
     with pytest.raises(ValueError, match="sequential"):
         SessionServer(cfg)
+
+
+@pytest.mark.parametrize("model", ["LESSR", "GCEGNN"])
+def test_session_server_specialized_datasets(model):
+    """LESSR (EOP mailbox + shortcut graph) and GCE-GNN (reversed
+    sessions + typed edges) serve through the same construction path
+    training uses — verify against the eval-split loader batch."""
+    import jax
+
+    from recbole_gnn_tpu.quick_start import create_dataset, data_preparation
+    from recbole_gnn_tpu.serve import SessionServer
+
+    cfg = base_config_dict(model=model, epochs=1, seed=2020)
+    run_recbole_gnn_tpu(config_dict=cfg, saved=True, verbose=False)
+    config = Config(config_dict=cfg)
+    srv = SessionServer(config)
+
+    ds = create_dataset(config)
+    _, _, (test_loader, _) = data_preparation(config, ds)
+    batch = next(iter(test_loader))
+    row = 0
+    n = int(batch["item_seq_len"][row])
+    sess = batch["item_seq"][row][:n]
+    if model == "GCEGNN":
+        sess = sess[::-1]          # loader sessions are stored reversed
+    sess_tokens = [str(srv.item_tokens[i]) for i in sess]
+    got_idx, _ = srv.recommend([sess_tokens], k=10, return_tokens=False)
+
+    scores = np.array(srv.model.full_scores(
+        srv.params, srv.consts, srv.extras, batch,
+        jax.random.PRNGKey(0), False))[row]
+    scores[0] = -np.inf
+    want = np.argsort(-scores)[:10]
+    assert list(got_idx[0]) == list(want)
 
 
 def test_session_http_roundtrip(srgnn_ckpt):
