@@ -234,6 +234,12 @@ class LESSR(SequentialRecommender):
         n = batch["n_nodes"]
         # node mask incl. the reference's single PAD node per short session
         nmask = jnp.arange(L)[None, :] < (n + (n < L))[:, None]
+        # weight-0 padding rows (final partial batch, repeated row 0)
+        # must not contaminate batch statistics — the reference's
+        # loader never pads, so its BN sees only real sessions
+        w = batch.get("weight")
+        if w is not None:
+            nmask = nmask & (w > 0)[:, None]
         emb = params["item_emb"]
         # max_norm=1 renorm on use (torch Embedding max_norm semantics)
         norms = jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
@@ -259,15 +265,24 @@ class LESSR(SequentialRecommender):
                                    axis=1)[:, 0]
         sr = jnp.concatenate([sr_l, sr_g], axis=-1)
         if self.batch_norm:
+            def row_stats():
+                if w is None:
+                    return jnp.mean(sr, axis=0), jnp.var(sr, axis=0)
+                ww = (w > 0).astype(sr.dtype)[:, None]
+                cnt = jnp.maximum(ww.sum(), 1.0)
+                mu_ = (sr * ww).sum(axis=0) / cnt
+                var_ = (((sr - mu_) ** 2) * ww).sum(axis=0) / cnt
+                return mu_, var_
+
             i = site["i"]
             site["i"] += 1
             if bn_collect is not None:
-                mu, var = jnp.mean(sr, axis=0), jnp.var(sr, axis=0)
+                mu, var = row_stats()
                 bn_collect.append((mu, var))
             elif bn_stats is not None:
                 mu, var = bn_stats[i]
             else:
-                mu, var = jnp.mean(sr, axis=0), jnp.var(sr, axis=0)
+                mu, var = row_stats()
             sr = (sr - mu) * jax.lax.rsqrt(var + 1e-5) * \
                 params["bn_sr"]["g"] + params["bn_sr"]["b"]
         rng, sr = self._dropout(rng, sr, train)

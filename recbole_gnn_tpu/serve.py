@@ -141,6 +141,33 @@ def export_artifact(config, out_path: str, checkpoint_path: str | None = None,
     return out_path
 
 
+# -- shared serving plumbing ---------------------------------------------
+
+def _pad_to_bucket(n: int, buckets) -> int:
+    """Next batch bucket ≥ n (beyond the last: round up to its multiple)
+    — jit caches stay warm and bounded."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return -(-n // buckets[-1]) * buckets[-1]
+
+
+def _resolve_tokens(tokens, mapping: dict, kind: str) -> list:
+    out = []
+    for t in tokens:
+        tok = str(t)
+        if tok not in mapping:
+            raise KeyError(f"unknown {kind} token {tok!r}")
+        out.append(mapping[tok])
+    return out
+
+
+def _empty_result(k: int, return_tokens: bool):
+    empty = np.zeros((0, k), dtype=np.float32)
+    return ([] if return_tokens
+            else np.zeros((0, k), dtype=np.int64)), empty
+
+
 # -- server -------------------------------------------------------------
 
 class RecServer:
@@ -194,10 +221,7 @@ class RecServer:
     # .. internals ..
 
     def _bucket(self, n: int) -> int:
-        for b in self.BATCH_BUCKETS:
-            if n <= b:
-                return b
-        return -(-n // self.BATCH_BUCKETS[-1]) * self.BATCH_BUCKETS[-1]
+        return _pad_to_bucket(n, self.BATCH_BUCKETS)
 
     def _scorer(self, batch: int, k: int):
         key = (batch, k)
@@ -250,13 +274,8 @@ class RecServer:
 
     def resolve_users(self, users) -> np.ndarray:
         """External tokens (or ints matching tokens) → internal ids."""
-        uids = []
-        for u in users:
-            tok = str(u)
-            if tok not in self._token2uid:
-                raise KeyError(f"unknown user token {tok!r}")
-            uids.append(self._token2uid[tok])
-        return np.asarray(uids, dtype=np.int64)
+        return np.asarray(_resolve_tokens(users, self._token2uid, "user"),
+                          dtype=np.int64)
 
     def recommend(self, users, k: int = 10, mask_history: bool = True,
                   return_tokens: bool = True):
@@ -269,9 +288,7 @@ class RecServer:
         uids = self.resolve_users(users)
         n = len(uids)
         if n == 0:
-            empty = np.zeros((0, k), dtype=np.float32)
-            return ([] if return_tokens
-                    else np.zeros((0, k), dtype=np.int64)), empty
+            return _empty_result(k, return_tokens)
         b = self._bucket(n)
         # history width also buckets (pow2) so jit keys stay bounded
         lens = self._hist_indptr[uids + 1] - self._hist_indptr[uids]
@@ -376,10 +393,7 @@ class SessionServer:
         self._jit_cache = {}
 
     def _bucket(self, n: int) -> int:
-        for b in self.BATCH_BUCKETS:
-            if n <= b:
-                return b
-        return -(-n // self.BATCH_BUCKETS[-1]) * self.BATCH_BUCKETS[-1]
+        return _pad_to_bucket(n, self.BATCH_BUCKETS)
 
     def _scorer(self, batch: int, k: int):
         key = (batch, k)
@@ -407,19 +421,12 @@ class SessionServer:
         """
         n = len(sessions)
         if n == 0:
-            empty = np.zeros((0, k), dtype=np.float32)
-            return ([] if return_tokens
-                    else np.zeros((0, k), dtype=np.int64)), empty
+            return _empty_result(k, return_tokens)
         L = self.max_seq_len
         seqs = np.zeros((n, L), dtype=np.int32)
         lens = np.zeros(n, dtype=np.int32)
         for r, s in enumerate(sessions):
-            ids = []
-            for t in s:
-                tok = str(t)
-                if tok not in self._tok2iid:
-                    raise KeyError(f"unknown item token {tok!r}")
-                ids.append(self._tok2iid[tok])
+            ids = _resolve_tokens(s, self._tok2iid, "item")
             if not ids:
                 raise KeyError("empty session")
             ids = ids[-L:]
@@ -449,6 +456,17 @@ class SessionServer:
         elif self._dataset_class == "LESSRDataset":
             from recbole_gnn_tpu.data.session import build_lessr_graphs
             graphs, _ = build_lessr_graphs(seqs, lens, L)
+            # eop_mail width K is data-dependent (max in-degree of THIS
+            # request); pad it to the next pow2 so the jit cache stays
+            # bounded (~log2(L) entries per batch bucket) instead of
+            # recompiling the forward for every new K
+            mail = graphs["eop_mail"]
+            kp = 1
+            while kp < mail.shape[2]:
+                kp <<= 1
+            if kp > mail.shape[2]:
+                graphs["eop_mail"] = np.pad(
+                    mail, ((0, 0), (0, 0), (0, kp - mail.shape[2])))
             batch.update(graphs)
         elif self._dataset_class == "GCEGNNDataset":
             from recbole_gnn_tpu.data.session import (build_gcegnn_graphs,
@@ -517,7 +535,9 @@ def make_http_server(server, host: str = "127.0.0.1", port: int = 8080):
                     items, scores = server.recommend(
                         req[req_key], k=int(req.get("k", 10)),
                         mask_history=bool(req.get("mask_history", True)))
-                self._send(200, {req_key: req[req_key],
+                echo = (req[req_key] if is_session
+                        else [str(u) for u in req[req_key]])
+                self._send(200, {req_key: echo,
                                  "items": items,
                                  "scores": [[float(v) for v in row]
                                             for row in scores]})

@@ -97,6 +97,7 @@ class Trainer:
         self.opt_state = None
         self._resume_epoch = None
         self._resume_best = None
+        self._calib_jit = None
         if config["tensorboard_dir"]:
             # optional TB scalars ([recbole] trainer parity); the writer
             # comes from torch (baked in), used lazily and best-effort
@@ -248,6 +249,7 @@ class Trainer:
             params, opt_state = place_state(params, opt_state, self._mesh)
 
         cur_step = 0
+        calib_batch = None
 
         for epoch in range(start_epoch, self.epochs):
             ek = jax.random.fold_in(k_train, epoch)
@@ -261,6 +263,7 @@ class Trainer:
             t0 = time.time()
             if self._use_scan:
                 batch_list = list(train_loader)
+                calib_batch = batch_list[0]
                 n_b = len(batch_list)
                 chunk = self._scan_chunk or n_b
                 scan_fn = self._get_scan_fn(mode)
@@ -293,6 +296,8 @@ class Trainer:
                 loss_sum = None
                 n_examples = 0
                 for i, batch in enumerate(train_loader):
+                    if i == 0:
+                        calib_batch = batch   # host copy, pre-placement
                     rng = jax.random.fold_in(ek, i)
                     if self._mesh is not None:
                         from recbole_gnn_tpu.parallel.sharded_train import (
@@ -330,9 +335,11 @@ class Trainer:
                     f"{n_examples / max(dt, 1e-9):.0f} ex/s]")
 
             if valid_loader is not None and (epoch + 1) % self.eval_step == 0:
+                eval_extras = self._calibrated_extras(
+                    params, consts, extras, calib_batch)
                 result = self.evaluator.evaluate(
-                    _logical(params, self._pad_plan), extras, valid_loader,
-                    mode=_eval_mode(cfg))
+                    _logical(params, self._pad_plan), eval_extras,
+                    valid_loader, mode=_eval_mode(cfg))
                 score = result.get(self.valid_metric,
                                    next(iter(result.values())))
                 self.jsonl.write({"event": "valid", "epoch": epoch,
@@ -348,7 +355,7 @@ class Trainer:
                     best_score, best_result, best_epoch = score, result, epoch
                     cur_step = 0
                     if saved:
-                        self._save(params, opt_state, extras, epoch,
+                        self._save(params, opt_state, eval_extras, epoch,
                                    best_score, best_epoch)
                 else:
                     cur_step += 1
@@ -367,13 +374,16 @@ class Trainer:
                                 f"(best epoch {best_epoch})")
                         break
             elif valid_loader is None and saved:
-                self._save(params, opt_state, extras, epoch)
+                self._save(params, opt_state,
+                           self._calibrated_extras(params, consts, extras,
+                                                   calib_batch), epoch)
             if callback is not None:
                 callback(epoch, _logical(params, self._pad_plan), extras)
 
         # expose the LOGICAL state (checkpoint-compatible either way)
         self.params = _logical(params, self._pad_plan)
-        self.extras = extras
+        self.extras = self._calibrated_extras(params, consts, extras,
+                                              calib_batch)
         self.opt_state = (self._unpad_opt(opt_state)
                           if self._pad_plan else opt_state)
         if best_score is None:
@@ -397,6 +407,20 @@ class Trainer:
     def _loss_mode(self, epoch: int) -> int:
         fn = getattr(self.model, "loss_mode", None)
         return int(fn(epoch)) if callable(fn) else 0
+
+    def _calibrated_extras(self, params, consts, extras, calib_batch):
+        """Optional model hook: freeze eval-time population statistics
+        (e.g. LESSR's BatchNorm running-stats analogue) from a sample
+        train batch, so validation / checkpoints / serving all score
+        with the same batch-size-invariant statistics.  No-op for
+        models without ``serving_calibrate``."""
+        fn = getattr(self.model, "serving_calibrate", None)
+        if fn is None or calib_batch is None:
+            return extras
+        if self._calib_jit is None:
+            self._calib_jit = jax.jit(fn)
+        return self._calib_jit(_logical(params, self._pad_plan), consts,
+                               extras, calib_batch)
 
     # -- evaluation -----------------------------------------------------
 

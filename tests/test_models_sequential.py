@@ -128,3 +128,38 @@ def test_lessr_eopa_scan_path_matches_unroll():
     np.testing.assert_allclose(np.asarray(out_scan),
                                np.asarray(out_unroll),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_lessr_calibrated_eval_batch_invariant():
+    """Trained LESSR checkpoints carry frozen population BN statistics
+    (trainer serving_calibrate hook), and eval-mode scores computed
+    with them are batch-size invariant — the torch reference's
+    running-stats eval semantics (its BatchNorm1d eval mode)."""
+    import jax
+    import numpy as np
+
+    from recbole_gnn_tpu.config import Config
+    from recbole_gnn_tpu.models import get_model
+    from recbole_gnn_tpu.quick_start import (create_dataset,
+                                             data_preparation,
+                                             run_recbole_gnn_tpu)
+    from recbole_gnn_tpu.train.checkpoint import load_checkpoint
+
+    cfg = base_config_dict(model="LESSR", epochs=1, seed=2020)
+    run_recbole_gnn_tpu(config_dict=cfg, saved=True, verbose=False)
+    config = Config(config_dict=cfg)
+    state = load_checkpoint("/tmp/rgt_test_saved/LESSR-test.ckpt")
+    assert "lessr_bn" in state.get("extras", {})
+
+    ds = create_dataset(config)
+    (_, tr_ds), _, (test_loader, _) = data_preparation(config, ds)
+    model = get_model("LESSR")(config, tr_ds)
+    batch = next(iter(test_loader))
+    full = np.array(model.full_scores(
+        state["params"], model.consts, state["extras"], batch,
+        jax.random.PRNGKey(0), False))
+    sub = {k: v[:2] for k, v in batch.items()}
+    f2 = np.array(model.full_scores(
+        state["params"], model.consts, state["extras"], sub,
+        jax.random.PRNGKey(0), False))
+    np.testing.assert_allclose(f2, full[:2], rtol=1e-5, atol=1e-5)
