@@ -359,6 +359,9 @@ class SessionServer:
                 "evaluator")
         self._dataset_class = info.dataset_class
         ds = create_dataset(config)
+        # data_preparation (not a bare ds.build()) for the tier-3 split
+        # cache: restarts skip augmentation + graph construction; the
+        # discarded sequential eval loaders are O(1) wrappers
         (_, train_ds), _, _ = data_preparation(config, ds)
         self.model = get_model(config["model"])(config, train_ds)
         ckpt = checkpoint_path or os.path.join(
