@@ -28,8 +28,7 @@ CKPT_DIR = "/tmp/rgt_sserve"
 
 CFG = {
     "data_path": DATA,
-    "load_col": {"inter": ["session_id", "item_id", "timestamp"]},
-    "USER_ID_FIELD": "session_id",
+    "load_col": {"inter": ["user_id", "item_id", "timestamp"]},
     "checkpoint_dir": CKPT_DIR,
     "epochs": 3,
     "train_batch_size": 2048,
