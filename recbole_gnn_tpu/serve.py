@@ -62,8 +62,10 @@ def export_artifact(config, out_path: str, checkpoint_path: str | None = None,
     (``{checkpoint_dir}/{model}-{dataset}.ckpt``).
     ``mask_splits``: which observed interactions the server masks out of
     recommendations — ``"all"`` (train+valid+test; the production
-    convention: never re-recommend anything the user has seen) or
-    ``"train"`` (the offline-eval convention).
+    convention: never re-recommend anything the user has seen),
+    ``"train+valid"`` (the test-time evaluator convention — lets the
+    artifact reproduce offline test metrics exactly), or ``"train"``
+    (the validation-time convention).
     """
     import jax
 
@@ -99,8 +101,9 @@ def export_artifact(config, out_path: str, checkpoint_path: str | None = None,
     user_table = np.asarray(user_table, dtype=np.float32)
     item_table = np.asarray(item_table, dtype=np.float32)
 
-    splits = ((train_ds, valid_ds, test_ds) if mask_splits == "all"
-              else (train_ds,))
+    splits = {"all": (train_ds, valid_ds, test_ds),
+              "train+valid": (train_ds, valid_ds),
+              "train": (train_ds,)}[mask_splits]
     users = np.concatenate([s.user_item_arrays()[0] for s in splits])
     items = np.concatenate([s.user_item_arrays()[1] for s in splits])
     order = np.argsort(users, kind="stable")
@@ -577,7 +580,8 @@ def main(argv=None):
     ex.add_argument("--config_files", nargs="*", default=None)
     ex.add_argument("--checkpoint", default=None)
     ex.add_argument("--out", required=True)
-    ex.add_argument("--mask_splits", choices=("all", "train"), default="all")
+    ex.add_argument("--mask_splits",
+                    choices=("all", "train+valid", "train"), default="all")
 
     from recbole_gnn_tpu.config.config import _coerce
 

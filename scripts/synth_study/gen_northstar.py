@@ -42,7 +42,16 @@ def generate(out_dir: str,
              k_user: int = 4,
              p_cluster: float = 0.8,
              gamma: float = 3.0,
+             cold_frac: float = 0.0,
+             cold_n: int = 6,
              seed: int = SEED) -> dict:
+    """``cold_frac`` > 0 makes users [0, cold_frac·n_users) COLD:
+    exactly ``cold_n`` interactions each (the rest of the budget goes
+    to the warm users) — the regime where graph propagation should
+    beat pure MF (a cold user's embedding is estimated from ~4 train
+    points; LightGCN additionally pools the neighborhoods of the items
+    it shares with warm same-cluster users).  Cold membership is
+    recoverable from the token: int(token) <= cold count."""
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"{name}.inter")
@@ -58,14 +67,24 @@ def generate(out_dir: str,
     user_cl = rng.integers(0, n_clusters, size=(n_users, k_user))
     user_w = rng.dirichlet(np.full(k_user, 0.8), size=n_users)
 
-    per_user = n_inter // n_users
-    users = np.repeat(np.arange(n_users), per_user)
-    m = len(users)
-
-    # choose the cluster slot per interaction from the user's mixture
     cdf = np.cumsum(user_w, axis=1)
-    slot = (rng.random((n_users, per_user))[:, :, None]
-            > cdf[:, None, :]).sum(axis=2).reshape(-1)
+    if cold_frac > 0:
+        n_cold = int(n_users * cold_frac)
+        n_warm = n_users - n_cold
+        warm_total = n_inter - cold_n * n_cold
+        counts = np.full(n_users, cold_n, dtype=np.int64)
+        counts[n_cold:] = warm_total // n_warm
+        counts[-1] += warm_total - (warm_total // n_warm) * n_warm
+        users = np.repeat(np.arange(n_users), counts)
+        m = len(users)
+        slot = (rng.random(m)[:, None] > cdf[users]).sum(axis=1)
+    else:
+        per_user = n_inter // n_users
+        users = np.repeat(np.arange(n_users), per_user)
+        m = len(users)
+        # choose the cluster slot per interaction from the user's mixture
+        slot = (rng.random((n_users, per_user))[:, :, None]
+                > cdf[:, None, :]).sum(axis=2).reshape(-1)
     cl = user_cl[users, slot]
 
     # zipf-ish rank within the chosen pool (cluster or global)
