@@ -112,6 +112,19 @@ def test_http_roundtrip(artifact):
         httpd.shutdown()
 
 
+def test_mask_splits_tiers(artifact):
+    """history size ordering: train ⊆ train+valid ⊆ all — the three
+    masking conventions (validation / test-evaluator / production)."""
+    cfg = base_config_dict(model="LightGCN", epochs=1, seed=2020)
+    config = Config(config_dict=cfg)
+    sizes = {}
+    for ms in ("train", "train+valid", "all"):
+        p = f"/tmp/rgt_test_saved/lightgcn_serve_{ms.replace('+', '')}.npz"
+        export_artifact(config, p, mask_splits=ms)
+        sizes[ms] = len(RecServer(p)._hist_items)
+    assert sizes["train"] < sizes["train+valid"] < sizes["all"]
+
+
 def test_sequential_export_rejected():
     cfg = base_config_dict(model="SRGNN", epochs=1)
     config = Config(config_dict=cfg)
