@@ -54,7 +54,7 @@ ARTIFACT_VERSION = 1
 # -- export -------------------------------------------------------------
 
 def export_artifact(config, out_path: str, checkpoint_path: str | None = None,
-                    mask_splits: str = "all") -> str:
+                    mask_splits: str = "all", compress: bool = False) -> str:
     """Propagate a trained checkpoint once and write the serving artifact.
 
     ``config``: a ``Config`` (or kwargs via ``export_artifact_from_args``).
@@ -123,9 +123,13 @@ def export_artifact(config, out_path: str, checkpoint_path: str | None = None,
     }
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     tmp = f"{out_path}.tmp.{os.getpid()}"
+    # uncompressed by default: deflate on near-random f32 tables saves
+    # ~20% size for minutes of host CPU at web-scale catalogs (1.3M×64
+    # measured); opt in with compress=True for cold storage
+    writer = np.savez_compressed if compress else np.savez
     try:
         with open(tmp, "wb") as f:
-            np.savez_compressed(
+            writer(
                 f,
                 user_table=user_table, item_table=item_table,
                 hist_indptr=hist_indptr.astype(np.int64),
@@ -582,6 +586,8 @@ def main(argv=None):
     ex.add_argument("--out", required=True)
     ex.add_argument("--mask_splits",
                     choices=("all", "train+valid", "train"), default="all")
+    ex.add_argument("--compress", action="store_true",
+                    help="deflate the artifact (slow at web scale)")
 
     from recbole_gnn_tpu.config.config import _coerce
 
@@ -617,7 +623,8 @@ def main(argv=None):
     if args.cmd == "export":
         out = export_artifact(_build_config(args), args.out,
                               checkpoint_path=args.checkpoint,
-                              mask_splits=args.mask_splits)
+                              mask_splits=args.mask_splits,
+                              compress=args.compress)
         print(f"wrote {out}")
     elif args.cmd == "query":
         srv = RecServer(args.artifact, mesh_shape=args.mesh_shape)
